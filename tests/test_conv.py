@@ -1,0 +1,180 @@
+"""Golden tests: conv primitives vs torch + offline/streaming equivalence."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dl_speech_enhancement_tpu.nn import (
+    Conv1d,
+    ConvTranspose1d,
+    CausalConv1d,
+    CausalConvTranspose1d,
+    Conv2d,
+)
+
+
+def torch_w_to_ours(w: torch.Tensor) -> jnp.ndarray:
+    """torch Conv1d weight (out, in/g, k) -> ours (k, in/g, out)."""
+    return jnp.asarray(w.detach().numpy().transpose(2, 1, 0))
+
+
+def torch_wt_to_ours(w: torch.Tensor) -> jnp.ndarray:
+    """torch ConvTranspose1d weight (in, out, k) -> ours flipped (k, in, out)."""
+    return jnp.asarray(w.detach().numpy()[:, :, ::-1].transpose(2, 0, 1).copy())
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,s,d,g", [(8, 16, 7, 1, 1, 1), (8, 16, 6, 3, 1, 1), (16, 16, 7, 1, 9, 1), (8, 8, 3, 1, 1, 4)]
+)
+def test_causal_conv_matches_torch(rng, cin, cout, k, s, d, g):
+    T = 60
+    x = rng.standard_normal((2, cin, T)).astype(np.float32)
+    tconv = torch.nn.Conv1d(cin, cout, k, stride=s, dilation=d, groups=g, padding=0)
+    pad = (k - 1) * d
+    ref = tconv(torch.nn.functional.pad(torch.from_numpy(x), (pad, 0))).detach().numpy()
+
+    layer = CausalConv1d(cin, cout, k, stride=s, dilation=d, groups=g, bias=True)
+    params = {"w": torch_w_to_ours(tconv.weight), "b": jnp.asarray(tconv.bias.detach().numpy())}
+    ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("cin,cout,k,s", [(16, 8, 6, 3), (8, 4, 10, 5), (12, 6, 8, 4)])
+def test_causal_conv_transpose_matches_torch(rng, cin, cout, k, s):
+    T = 20
+    x = rng.standard_normal((2, cin, T)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose1d(cin, cout, k, stride=s, padding=0, output_padding=0)
+    xp = torch.nn.functional.pad(torch.from_numpy(x), (1, 0), mode="replicate")
+    ref = tconv(xp).detach().numpy()[:, :, s:-s]
+
+    layer = CausalConvTranspose1d(cin, cout, k, s, bias=True)
+    params = {"w": torch_wt_to_ours(tconv.weight), "b": jnp.asarray(tconv.bias.detach().numpy())}
+    ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
+    assert ours.shape == (2, T * s, cout)
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_noncausal_conv_matches_torch(rng):
+    cin, cout, k, d = 8, 8, 7, 3
+    T = 50
+    x = rng.standard_normal((2, cin, T)).astype(np.float32)
+    pad = (k - 1) // 2 * d
+    tconv = torch.nn.Conv1d(cin, cout, k, dilation=d, padding=pad)
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+    layer = Conv1d(cin, cout, k, dilation=d, padding=-1)
+    params = {"w": torch_w_to_ours(tconv.weight), "b": jnp.asarray(tconv.bias.detach().numpy())}
+    ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_noncausal_conv_transpose_matches_torch(rng):
+    # reference NonCausalConvTranspose1d defaults: padding=(s+1)//2, output_padding=s%2
+    for s in (2, 3, 4):
+        k = 2 * s
+        cin, cout, T = 8, 4, 15
+        pad, opad = (s + 1) // 2, 1 if s % 2 else 0
+        x = rng.standard_normal((2, cin, T)).astype(np.float32)
+        tconv = torch.nn.ConvTranspose1d(cin, cout, k, stride=s, padding=pad, output_padding=opad)
+        ref = tconv(torch.from_numpy(x)).detach().numpy()
+        layer = ConvTranspose1d(cin, cout, k, s, padding=-1, output_padding=-1)
+        params = {"w": torch_wt_to_ours(tconv.weight), "b": jnp.asarray(tconv.bias.detach().numpy())}
+        ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
+        np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_conv2d_matches_torch(rng):
+    x = rng.standard_normal((2, 1, 30, 5)).astype(np.float32)
+    tconv = torch.nn.Conv2d(1, 8, (5, 1), stride=(3, 1), padding=(2, 0))
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+    layer = Conv2d(1, 8, (5, 1), stride=(3, 1), padding=(2, 0))
+    params = {
+        "w": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "b": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    ours = layer(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,d", [(7, 1, 1), (7, 1, 9), (6, 3, 1), (10, 5, 1)])
+def test_streaming_equals_offline_causal_conv(rng, k, s, d):
+    """Chunked .step() must equal the parallel forward exactly."""
+    cin, cout = 8, 16
+    chunk, n_chunks = 15, 8
+    T = chunk * n_chunks
+    layer = CausalConv1d(cin, cout, k, stride=s, dilation=d)
+    params = layer.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, T, cin)).astype(np.float32))
+    offline = layer(params, x)
+
+    cache = layer.init_cache(2)
+    outs = []
+    for i in range(n_chunks):
+        y, cache = layer.step(params, cache, x[:, i * chunk : (i + 1) * chunk])
+        outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(offline), atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s", [(6, 3), (8, 4), (10, 5)])
+def test_streaming_equals_offline_causal_deconv(rng, k, s):
+    """Streaming deconv differs from offline only through the first-frame pad:
+    offline replication-pads the first frame, streaming starts from a zero
+    cache. Feeding a zero lead-in makes the two coincide (this is exactly how
+    the reference primes buffers, models/autoencoder/AudioDec.py:151-157)."""
+    cin, cout = 8, 4
+    chunk, n_chunks = 5, 6
+    T = chunk * n_chunks
+    layer = CausalConvTranspose1d(cin, cout, k, s)
+    params = layer.init(jax.random.PRNGKey(1))
+    x = np.zeros((2, T, cin), np.float32)
+    x[:, chunk:] = rng.standard_normal((2, T - chunk, cin)).astype(np.float32)
+    x = jnp.asarray(x)
+    offline = layer(params, x)
+
+    cache = layer.init_cache(2)
+    outs = []
+    for i in range(n_chunks):
+        y, cache = layer.step(params, cache, x[:, i * chunk : (i + 1) * chunk])
+        outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(offline), atol=1e-5)
+
+
+def test_weight_norm_conv_matches_torch(rng):
+    cin, cout, k = 8, 16, 7
+    x = rng.standard_normal((2, cin, 40)).astype(np.float32)
+    tconv = torch.nn.utils.weight_norm(torch.nn.Conv1d(cin, cout, k, padding=0))
+    ref = tconv(torch.nn.functional.pad(torch.from_numpy(x), (k - 1, 0))).detach().numpy()
+    layer = CausalConv1d(cin, cout, k, weight_norm=True)
+    params = {
+        "v": torch_w_to_ours(tconv.weight_v),
+        "g": jnp.asarray(tconv.weight_g.detach().numpy().transpose(2, 1, 0)),
+        "b": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_weight_norm_deconv_matches_torch(rng):
+    cin, cout, k, s = 8, 4, 6, 3
+    x = rng.standard_normal((2, cin, 12)).astype(np.float32)
+    tconv = torch.nn.utils.weight_norm(torch.nn.ConvTranspose1d(cin, cout, k, stride=s))
+    xp = torch.nn.functional.pad(torch.from_numpy(x), (1, 0), mode="replicate")
+    ref = tconv(xp).detach().numpy()[:, :, s:-s]
+    layer = CausalConvTranspose1d(cin, cout, k, s, weight_norm=True)
+    params = {
+        "v": torch_wt_to_ours(tconv.weight_v),
+        "g": jnp.asarray(tconv.weight_g.detach().numpy()[:, :, ::-1].transpose(2, 0, 1).copy()),
+        "b": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5)
