@@ -1,0 +1,78 @@
+"""Host-side audio file I/O and resampling (no libsndfile available).
+
+Replaces the reference's torchaudio/soundfile loaders
+(dataloader/AudioDataset.py:27-35, dataloader/dataset.py:57-60) with a
+stdlib ``wave`` PCM decoder plus scipy polyphase resampling. Covers PCM16/
+PCM24/PCM32/float32 WAV; output is float32 in [-1, 1], shaped (T, C).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import wave
+
+import numpy as np
+from scipy.signal import resample_poly
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Returns (audio (T, C) float32, sample_rate)."""
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        ch = f.getnchannels()
+        sw = f.getsampwidth()
+        raw = f.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            (b[:, 0].astype(np.int32))
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = (x - ((x & 0x800000) << 1)).astype(np.float32) / 8388608.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width: {sw}")
+    return x.reshape(-1, ch), sr
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int, subtype: str = "PCM_16"):
+    """Write float32 (T,) or (T, C) audio as PCM WAV (default PCM_16, matching
+    the reference's sf.write(..., subtype='PCM_16'), bin/test.py:103)."""
+    if subtype != "PCM_16":
+        raise NotImplementedError(subtype)
+    a = np.asarray(audio, np.float32)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype("<i2")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(a.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling along axis 0; identity when rates match."""
+    if orig_sr == target_sr:
+        return audio
+    g = math.gcd(orig_sr, target_sr)
+    return resample_poly(audio, target_sr // g, orig_sr // g, axis=0).astype(
+        np.float32
+    )
+
+
+def load_audio(path: str, target_sr: int | None = None) -> np.ndarray:
+    """Read + optional resample -> (T, C) float32."""
+    x, sr = read_wav(path)
+    if target_sr is not None and sr != target_sr:
+        x = resample(x, sr, target_sr)
+    return x

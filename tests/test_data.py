@@ -1,0 +1,135 @@
+"""Data pipeline tests: wav io round-trip, datasets, collaters, mixing, loaders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dl_speech_enhancement_tpu.data import (
+    read_wav,
+    write_wav,
+    resample,
+    load_audio,
+    AudioDataset,
+    SingleDataset,
+    MultiDataset,
+    CollaterAudio,
+    CollaterAudioPair,
+    add_noise,
+    noise_dropout,
+    get_dataloaders,
+    random_split,
+)
+
+from conftest import requires_reference
+
+
+def _make_wavs(tmp_path, n=6, sr=16000, seconds=1.0, subdir="clean"):
+    rng = np.random.default_rng(7)
+    d = tmp_path / subdir / "spk1"
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        x = (rng.standard_normal(int(sr * seconds)) * 0.1).astype(np.float32)
+        p = str(d / f"utt{i}.wav")
+        write_wav(p, x, sr)
+        paths.append(p)
+    return paths
+
+
+def test_wav_roundtrip(tmp_path):
+    x = np.sin(np.linspace(0, 100, 16000)).astype(np.float32) * 0.5
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000 and y.shape == (16000, 1)
+    np.testing.assert_allclose(y[:, 0], x, atol=1.0 / 32767)
+
+
+def test_resample_preserves_tone(tmp_path):
+    sr, target = 48000, 24000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)[:, None]
+    y = resample(x, sr, target)
+    assert y.shape[0] == target
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(y[:, 0]))
+    assert abs(np.argmax(spec) - 440) <= 1
+
+
+def test_audio_dataset_scan(tmp_path):
+    _make_wavs(tmp_path, n=4)
+    ds = AudioDataset(str(tmp_path / "clean"), "clean", 16000)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item.ndim == 2 and item.shape[1] == 1
+
+
+def test_single_and_multi_dataset(tmp_path):
+    paths = _make_wavs(tmp_path, n=4)
+    ds = SingleDataset(str(tmp_path / "clean"), return_utt_id=True)
+    assert len(ds) == 4
+    uid, audio = ds[0]
+    assert uid.startswith("utt") and audio.ndim == 2
+
+    md = MultiDataset([paths, paths], return_utt_id=False)
+    a, b = md[1]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_collater_shapes_and_pair_alignment(rng):
+    clips = [rng.standard_normal((5000, 1)).astype(np.float32) for _ in range(4)]
+    c = CollaterAudio(batch_length=1200, rng=np.random.default_rng(0))
+    out = c(clips)
+    assert out.shape == (4, 1200, 1)
+
+    pairs = [(x, x * 2.0) for x in clips]
+    cp = CollaterAudioPair(batch_length=1200, rng=np.random.default_rng(0))
+    n_batch, x_batch = cp(pairs)
+    np.testing.assert_allclose(x_batch * 2.0, n_batch, atol=1e-6)
+
+    # short clips filtered
+    assert c([rng.standard_normal((100, 1))]) is None
+
+
+def test_add_noise_reference_formula(rng):
+    s = rng.standard_normal((2, 1200, 1)).astype(np.float32)
+    n = rng.standard_normal((2, 1200, 1)).astype(np.float32)
+    m = add_noise(s, n, 15)
+    scale = np.exp(15 / 10) * np.linalg.norm(n) / np.linalg.norm(s)
+    np.testing.assert_allclose(m, (scale * s + n) / 2, rtol=1e-5)
+    # standard mode hits the requested SNR
+    m2 = add_noise(s, n, 10, mode="db")
+    noise_part = m2 - s
+    snr = 20 * np.log10(np.linalg.norm(s) / np.linalg.norm(noise_part))
+    np.testing.assert_allclose(snr, 10, atol=0.1)
+
+
+def test_noise_dropout_pre_mix_semantics(rng):
+    clean = np.ones((8, 10, 1), np.float32)
+    noise = np.zeros((8, 10, 1), np.float32)
+    out = noise_dropout(clean, noise, 1.0, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, clean)  # rate=1 -> all replaced
+    out0 = noise_dropout(clean, noise, 0.0, np.random.default_rng(0))
+    np.testing.assert_array_equal(out0, noise)
+
+
+def test_split_determinism_and_disjointness(tmp_path):
+    _make_wavs(tmp_path, n=10)
+    ds = AudioDataset(str(tmp_path / "clean"), "clean", 16000)
+    s1 = random_split(ds, [0.7, 0.15, 0.15], seed=82)
+    s2 = random_split(ds, [0.7, 0.15, 0.15], seed=82)
+    assert [x.indices for x in s1] == [x.indices for x in s2]
+    all_idx = sorted(sum((list(x.indices) for x in s1), []))
+    assert all_idx == list(range(10))
+
+
+def test_dataloader_end_to_end(tmp_path):
+    _make_wavs(tmp_path, n=8, seconds=0.5)
+    ds = AudioDataset(str(tmp_path / "clean"), "clean", 16000)
+    train, val, test = get_dataloaders(ds, [0.5, 0.25, 0.25], batch_size=2,
+                                       batch_length=1600, seed=3)
+    batches = list(train)
+    assert len(batches) == 2
+    for b in batches:
+        assert b.shape == (2, 1600, 1)
