@@ -1,0 +1,6 @@
+from dl_speech_enhancement_tpu.stream.runtime import (
+    StreamingTransmitter,
+    StreamingReceiver,
+    AudioCodec,
+    AudioCodecStreamer,
+)

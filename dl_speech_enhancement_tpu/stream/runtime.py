@@ -1,0 +1,313 @@
+"""Chunked streaming runtime — the real-time tx/rx path.
+
+Re-designs the reference streaming stack (bin/stream.py:23-365 +
+utils/audiodec.py:32-103) TPU-first:
+
+- The per-layer mutable ``pad_buffer`` state becomes one cache pytree carried
+  through a **single jitted chunk step per side**: the whole
+  encode->quantize chain (tx) and lookup->decode chain (rx) each compile to
+  one XLA program, so a 25 ms frame costs one device dispatch, not dozens.
+- The int32 code indices are the wire format crossing the tx->rx boundary
+  (utils/audiodec.py:96-103), exactly as upstream.
+- **Multi-stream batching**: the cache pytree has a leading batch dim, so one
+  chip serves B concurrent streams at almost the cost of one (the
+  streams/chip headline metric).
+- The host loop keeps the reference's thread/queue architecture
+  (encoder/decoder daemon threads + 3 queues, latency tracking with
+  queue-flush frame dropping, underflow zeros — bin/stream.py:184-310).
+  Audio hardware I/O (sounddevice) is optional; a file/array-driven mode
+  covers tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class StreamingTransmitter:
+    """Tx side: audio chunk -> flattened code indices (one jitted step)."""
+
+    def __init__(self, gen, params, vq_state, batch: int = 1):
+        self.gen = gen
+        self.params = params
+        self.vq_state = vq_state
+        self.batch = batch
+        self.use_pqc = gen.use_pqc
+
+        def _step(params, vq_state, cache, chunk):
+            z, new_cache = gen.encode_step(params, cache, chunk)
+            if self.use_pqc:
+                idx = gen.quantize(vq_state, z)
+                return idx, new_cache
+            return z, new_cache
+
+        self._step = jax.jit(_step)
+        self.reset_buffer()
+
+    def reset_buffer(self):
+        self.cache = {
+            k: v for k, v in self.gen.init_cache(self.batch).items()
+            if k in ("encoder", "projector")
+        }
+
+    def initial_encoder(self, receptive_length: int):
+        """Prime caches with a zero receptive field (AudioDec.py:151-157).
+        Returns the priming output (codes) like the reference."""
+        rl = (receptive_length // self.gen.hop) * self.gen.hop
+        zeros = jnp.zeros((self.batch, rl, self.gen.input_channels), jnp.float32)
+        out = self.encode(zeros)
+        return out
+
+    def encode(self, chunk) -> jax.Array:
+        out, new_cache = self._step(self.params, self.vq_state, self.cache, chunk)
+        self.cache.update(new_cache)
+        return out
+
+
+class StreamingReceiver:
+    """Rx side: code indices -> audio chunk (one jitted step)."""
+
+    def __init__(self, gen, params, vq_state, batch: int = 1):
+        self.gen = gen
+        self.params = params
+        self.batch = batch
+        self.use_pqc = gen.use_pqc
+        self.flat_cb = gen.flat_codebook(vq_state) if self.use_pqc else None
+
+        def _step(params, flat_cb, cache, idx):
+            zq = gen.lookup(flat_cb, idx) if self.use_pqc else idx
+            y, new_cache = gen.decode_step(params, cache, zq)
+            return y, new_cache
+
+        self._step = jax.jit(_step)
+        self.reset_buffer()
+
+    def reset_buffer(self):
+        self.cache = {"decoder": self.gen.init_cache(self.batch)["decoder"]}
+
+    def initial_decoder(self, idx):
+        return self.decode(idx)
+
+    def decode(self, idx) -> jax.Array:
+        y, new_cache = self._step(self.params, self.flat_cb, self.cache, idx)
+        self.cache.update(new_cache)
+        return y
+
+
+class AudioCodec:
+    """Facade pairing a transmitter and receiver around one generator
+    (bin/stream.py AudioCodec / utils/audiodec.py AudioDec)."""
+
+    def __init__(self, gen, params, vq_state, batch: int = 1,
+                 receptive_length: int | None = None):
+        self.gen = gen
+        self.tx_encoder = StreamingTransmitter(gen, params, vq_state, batch)
+        self.rx_encoder = StreamingReceiver(gen, params, vq_state, batch)
+        self.receptive_length = receptive_length or gen.receptive_length
+
+    def load(self):
+        """Prime both sides' buffers (bin/stream.py:56-77)."""
+        codes = self.tx_encoder.initial_encoder(self.receptive_length)
+        self.rx_encoder.initial_decoder(codes)
+
+    def reset(self):
+        self.tx_encoder.reset_buffer()
+        self.rx_encoder.reset_buffer()
+
+    def _encode(self, x):
+        return self.tx_encoder.encode(x)
+
+    def _decode(self, idx):
+        return self.rx_encoder.decode(idx)
+
+
+class AudioCodecStreamer(AudioCodec):
+    """Full-duplex streamer: audio in -> tx thread -> codes -> rx thread ->
+    audio out, with latency tracking and overload frame-dropping
+    (bin/stream.py:107-365)."""
+
+    def __init__(self, gen, params, vq_state, *, frame_size: int = 1200,
+                 sample_rate: int = 48000, max_latency: float = 0.1,
+                 batch: int = 1, receptive_length: int | None = None,
+                 input_dump=None, output_dump=None):
+        super().__init__(gen, params, vq_state, batch, receptive_length)
+        assert frame_size % gen.hop == 0, (
+            f"frame_size {frame_size} must be a multiple of hop {gen.hop}"
+        )
+        self.frame_size = frame_size
+        self.sample_rate = sample_rate
+        self.max_latency = max_latency
+        self.encoder_queue: queue.Queue = queue.Queue()
+        self.decoder_queue: queue.Queue = queue.Queue()
+        self.output_queue: queue.Queue = queue.Queue()
+        self.enc_times: list[float] = []
+        self.dec_times: list[float] = []
+        self.latencies: list[float] = []
+        self.frame_drops = 0
+        self.n_frames = 0
+        self.input_dump = [] if input_dump else None
+        self.output_dump = [] if output_dump else None
+        self._stop = threading.Event()
+
+    # ---------------- worker threads (bin/stream.py:184-239) ----------------
+
+    def _encoder_worker(self):
+        while not self._stop.is_set():
+            try:
+                frame, t_in = self.encoder_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            t0 = time.perf_counter()
+            idx = self._encode(frame)
+            jax.block_until_ready(idx)
+            self.enc_times.append(time.perf_counter() - t0)
+            self.decoder_queue.put((idx, t_in))
+
+    def _decoder_worker(self):
+        while not self._stop.is_set():
+            try:
+                idx, t_in = self.decoder_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            t0 = time.perf_counter()
+            y = self._decode(idx)
+            jax.block_until_ready(y)
+            self.dec_times.append(time.perf_counter() - t0)
+            self.output_queue.put((np.asarray(y), t_in))
+
+    # ---------------- frame processing (bin/stream.py:242-282) --------------
+
+    def _process(self, indata: np.ndarray) -> np.ndarray:
+        """One audio-callback step: enqueue input frame, dequeue an output
+        frame (zeros on underflow), flush queues when latency exceeds the
+        bound (frame dropping, bin/stream.py:253-267)."""
+        self.n_frames += 1
+        if self.input_dump is not None:
+            self.input_dump.append(indata.copy())
+        self.encoder_queue.put((jnp.asarray(indata), time.perf_counter()))
+
+        try:
+            out, t_in = self.output_queue.get_nowait()
+            latency = time.perf_counter() - t_in
+            self.latencies.append(latency)
+            if latency > self.max_latency:
+                dropped = self._flush_queues()
+                self.frame_drops += dropped
+        except queue.Empty:
+            out = np.zeros_like(indata)
+        if self.output_dump is not None:
+            self.output_dump.append(out.copy())
+        return out
+
+    def _flush_queues(self) -> int:
+        dropped = 0
+        for q in (self.encoder_queue, self.decoder_queue, self.output_queue):
+            while True:
+                try:
+                    q.get_nowait()
+                    dropped += 1
+                except queue.Empty:
+                    break
+        return dropped
+
+    # ---------------- run modes ----------------
+
+    def run_array(self, audio: np.ndarray, realtime: bool = False):
+        """Drive the streamer from an in-memory array (B, T, C) — the
+        file-driven analogue of the sounddevice loop; used by tests/bench."""
+        threads = [
+            threading.Thread(target=self._encoder_worker, daemon=True),
+            threading.Thread(target=self._decoder_worker, daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        outs = []
+        n = audio.shape[1] // self.frame_size
+        frame_time = self.frame_size / self.sample_rate
+        try:
+            for i in range(n):
+                t0 = time.perf_counter()
+                frame = audio[:, i * self.frame_size : (i + 1) * self.frame_size]
+                outs.append(self._process(frame))
+                if realtime:
+                    dt = time.perf_counter() - t0
+                    if dt < frame_time:
+                        time.sleep(frame_time - dt)
+            # drain the pipeline
+            deadline = time.perf_counter() + 2.0
+            while (len(outs) < n + self._pending()) and time.perf_counter() < deadline:
+                try:
+                    out, t_in = self.output_queue.get(timeout=0.1)
+                    self.latencies.append(time.perf_counter() - t_in)
+                    outs.append(out)
+                except queue.Empty:
+                    if self._pending() == 0:
+                        break
+        finally:
+            self._stop.set()
+            for t in threads:
+                t.join(timeout=1.0)
+        return np.concatenate(outs, axis=1) if outs else np.zeros_like(audio[:, :0])
+
+    def _pending(self) -> int:
+        return (self.encoder_queue.qsize() + self.decoder_queue.qsize()
+                + self.output_queue.qsize())
+
+    def run(self, latency: float = 0.1, duration: float | None = None):
+        """Live sounddevice loop (bin/stream.py:335-365). Requires the
+        optional ``sounddevice`` package + audio hardware."""
+        try:
+            import sounddevice as sd
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "sounddevice is not available in this environment; use "
+                "run_array() for file-driven streaming"
+            ) from e
+        threads = [
+            threading.Thread(target=self._encoder_worker, daemon=True),
+            threading.Thread(target=self._decoder_worker, daemon=True),
+        ]
+        for t in threads:
+            t.start()
+
+        def callback(indata, outdata, frames, time_info, status):  # pragma: no cover
+            if status:
+                logger.warning("%s", status)
+            out = self._process(indata[None, :, :1].astype(np.float32))
+            outdata[:] = out[0]
+
+        with sd.Stream(channels=1, samplerate=self.sample_rate,
+                       blocksize=self.frame_size, latency=latency,
+                       callback=callback):  # pragma: no cover
+            if duration is None:
+                input("Streaming... press Enter to stop.\n")
+            else:
+                time.sleep(duration)
+        self._stop.set()
+
+    # ---------------- stats (bin/stream.py:284-310) ----------------
+
+    def stats(self) -> dict:
+        def ms(xs):
+            return (float(np.mean(xs) * 1e3), float(np.std(xs) * 1e3)) if xs else (0.0, 0.0)
+
+        enc_mean, enc_std = ms(self.enc_times)
+        dec_mean, dec_std = ms(self.dec_times)
+        lat_mean, lat_std = ms(self.latencies)
+        return {
+            "encoder_ms_mean": enc_mean, "encoder_ms_std": enc_std,
+            "decoder_ms_mean": dec_mean, "decoder_ms_std": dec_std,
+            "latency_ms_mean": lat_mean, "latency_ms_std": lat_std,
+            "frame_drops": self.frame_drops,
+            "frames": self.n_frames,
+            "drop_pct": 100.0 * self.frame_drops / max(self.n_frames, 1),
+        }

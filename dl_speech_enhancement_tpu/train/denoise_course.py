@@ -1,0 +1,251 @@
+"""The course training loop — GAN speech-enhancement fine-tuning.
+
+Functional re-design of the reference's primary entry point
+(train_denoise.py): without-PQC AudioDec generator + HiFiGAN discriminator,
+on-the-fly SNR mixing at random SNR in [10, 20) dB, noise dropout with decay,
+epoch-gated discriminator enabling, per-epoch validation and checkpoints.
+
+Generator loss (train_denoise.py:138-154):
+    lambda_mel * MultiMel + lambda_snr * (1 - sigmoid(SNR))
+    [+ lambda_adv * gen_adv(D(pred)) + lambda_feat_match * feat_match]
+
+Deviation (documented): the reference computes its adversarial term on the
+raw *waveform* instead of the discriminator logits
+(``criterion['gen_adv'](pred)``, train_denoise.py:147) — an apparent slip;
+we feed the discriminator outputs, which is both the intent and what the
+reference's own ``trainer/`` stack does (trainerGAN.py:244-246). Noise
+dropout is applied *before* mixing (the intended semantics; see
+data/mixing.py docstring).
+
+TPU design: two precompiled jitted steps (with/without discriminator) carry
+{params, opt states} through donated buffers; mixing happens host-side in
+numpy while the device crunches the previous batch (prefetch pipeline).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dl_speech_enhancement_tpu.losses import (
+    MultiMelSpectrogramLoss,
+    GeneratorAdversarialLoss,
+    DiscriminatorAdversarialLoss,
+    FeatureMatchLoss,
+    signal_noise_ratio,
+)
+from dl_speech_enhancement_tpu.train.optim import build_optimizer
+from dl_speech_enhancement_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from dl_speech_enhancement_tpu.data.mixing import add_noise, noise_dropout
+
+logger = logging.getLogger(__name__)
+
+
+def make_course_steps(gen, disc, config, opt_g, opt_d):
+    mel_loss = MultiMelSpectrogramLoss(**config["mel_loss_params"])
+    gen_adv = GeneratorAdversarialLoss(**config.get("generator_adv_loss_params", {}))
+    dis_adv = DiscriminatorAdversarialLoss(**config.get("discriminator_adv_loss_params", {}))
+    feat_match = FeatureMatchLoss()
+    l_mel = config["lambda_mel_loss"]
+    l_snr = config.get("lambda_snr_loss", 0.0)
+    l_adv = config.get("lambda_adv", 1.0)
+    l_fm = config.get("lambda_feat_match", 2.0)
+
+    def _gen_loss(params_g, params_d, x, target, *, use_disc):
+        y, *_ = gen(params_g, None, x, train=True)
+        mel = l_mel * mel_loss(y, target)
+        snr = l_snr * (1.0 - jax.nn.sigmoid(signal_noise_ratio(y, target)))
+        total = mel + snr
+        frags = {"mel_loss": mel, "snr_loss": snr}
+        if use_disc:
+            p_ = disc(params_d, y)
+            p = jax.tree_util.tree_map(jax.lax.stop_gradient, disc(params_d, target))
+            adv = l_adv * gen_adv(p_)
+            fm = l_fm * feat_match(p_, p)
+            total = total + adv + fm
+            frags.update(adv_loss=adv, feat_loss=fm)
+        return total, frags
+
+    def _dis_loss(params_d, y, target):
+        p = disc(params_d, target)
+        p_ = disc(params_d, y)
+        real, fake = dis_adv(p_, p)
+        return l_adv * (real + fake)
+
+    def _make_step(use_disc: bool):
+        def step(state, x, target):
+            (g_loss, frags), grads = jax.value_and_grad(_gen_loss, has_aux=True)(
+                state["params_generator"], state.get("params_discriminator"),
+                x, target, use_disc=use_disc,
+            )
+            updates, new_opt_g = opt_g.update(
+                grads, state["opt_generator"], state["params_generator"]
+            )
+            new_params_g = optax.apply_updates(state["params_generator"], updates)
+            new_state = dict(state)
+            new_state["params_generator"] = new_params_g
+            new_state["opt_generator"] = new_opt_g
+            d_loss = jnp.zeros(())
+            if use_disc:
+                # re-forward with the *updated* generator, no grad
+                # (train_denoise.py:246-251)
+                y2, *_ = gen(new_params_g, None, x, train=False)
+                y2 = jax.lax.stop_gradient(y2)
+                d_loss, d_grads = jax.value_and_grad(_dis_loss)(
+                    state["params_discriminator"], y2, target
+                )
+                d_updates, new_opt_d = opt_d.update(
+                    d_grads, state["opt_discriminator"],
+                    state["params_discriminator"],
+                )
+                new_state["params_discriminator"] = optax.apply_updates(
+                    state["params_discriminator"], d_updates
+                )
+                new_state["opt_discriminator"] = new_opt_d
+            # gradient statistics (train_denoise.py:189-210)
+            flat = jax.tree_util.tree_leaves(grads)
+            gmax = jnp.max(jnp.asarray([jnp.max(g) for g in flat]))
+            gmin = jnp.min(jnp.asarray([jnp.min(g) for g in flat]))
+            gsum = sum(jnp.sum(jnp.abs(g)) for g in flat)
+            gnum = sum(g.size for g in flat)
+            stats = {"grad_max": gmax, "grad_min": gmin, "grad_avg": gsum / gnum}
+            return new_state, g_loss, d_loss, frags, stats
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _make_eval(use_disc: bool):
+        def step(state, x, target):
+            g_loss, frags = _gen_loss(
+                state["params_generator"], state.get("params_discriminator"),
+                x, target, use_disc=use_disc,
+            )
+            d_loss = jnp.zeros(())
+            if use_disc:
+                y, *_ = gen(state["params_generator"], None, x, train=False)
+                d_loss = _dis_loss(state["params_discriminator"], y, target)
+            return g_loss, d_loss, frags
+        return jax.jit(step)
+
+    return {
+        "train": _make_step(False),
+        "train_disc": _make_step(True),
+        "eval": _make_eval(False),
+        "eval_disc": _make_eval(True),
+    }
+
+
+def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
+                         *, environment: str = "HPC", job_dir: str = "job_out",
+                         task_name: str = "denoise", report=None, key=None,
+                         initial_params=None):
+    """Run the course loop. ``train_loaders``/``val_loaders`` are
+    (clean_loader, noise_loader) pairs; ``report(category, series, value,
+    iteration)`` is the scalar sink (ClearML/`tensorboard` adapter)."""
+    key = key if key is not None else jax.random.PRNGKey(config.get("seed", 82))
+    kg, kd = jax.random.split(key)
+    params_g, _ = gen.init(kg)
+    if initial_params is not None:
+        params_g = initial_params
+    params_d = disc.init(kd)
+    opt_g = build_optimizer("Adam", config["generator_optimizer_params"],
+                            grad_norm=config.get("generator_grad_norm", -1))
+    opt_d = build_optimizer("Adam", config["discriminator_optimizer_params"],
+                            grad_norm=config.get("discriminator_grad_norm", -1))
+    state = {
+        "params_generator": params_g,
+        "params_discriminator": params_d,
+        "opt_generator": opt_g.init(params_g),
+        "opt_discriminator": opt_d.init(params_d),
+    }
+    steps_fns = make_course_steps(gen, disc, config, opt_g, opt_d)
+
+    mix_rng = np.random.default_rng(config.get("seed", 82))
+    noise_dropout_rate = config["noise_dropout_rate"]
+    epochs = config["epochs"]
+    epoch_disc = config["epoch_to_enable_discriminator"]
+    epoch_ndo_decay = config["epoch_to_enable_noise_dropout_decay"]
+    discriminator_enabled = False
+    steps = config.get("step", 0)
+    start_time = time.perf_counter()
+
+    def _report(category, series, value, iteration):
+        if report is not None:
+            report(category, series, float(value), iteration)
+
+    history = []
+    for epoch in range(epochs):
+        if disc is not None and epoch == epoch_disc:
+            discriminator_enabled = True
+        if epoch > epoch_ndo_decay:
+            noise_dropout_rate -= config["noise_dropout_rate_decay"]
+
+        logger.info("Epoch %d", epoch)
+        train_losses = {"generator": [], "discriminator": []}
+        for i_batch, (clean_batch, noise_batch) in enumerate(
+            zip(train_loaders[0], train_loaders[1])
+        ):
+            if environment == "LAPTOP" and i_batch == 3:
+                break
+            if noise_dropout_rate > 0.0:
+                noise_batch = noise_dropout(clean_batch, noise_batch,
+                                            noise_dropout_rate, mix_rng)
+            mixed = add_noise(clean_batch, noise_batch,
+                              mix_rng.integers(10, 20))
+            fn = steps_fns["train_disc" if discriminator_enabled else "train"]
+            state, g_loss, d_loss, frags, gstats = fn(
+                state, jnp.asarray(mixed), jnp.asarray(clean_batch)
+            )
+            steps += 1
+            g_loss, d_loss = float(g_loss), float(d_loss)
+            train_losses["generator"].append(g_loss)
+            train_losses["discriminator"].append(d_loss)
+            if steps % 100 == 0 or environment == "LAPTOP":
+                dt = time.perf_counter() - start_time
+                logger.info("Training: Step %d \t Time: %d:%02d:%02d", steps,
+                            int(dt // 3600), int(dt // 60) % 60, int(dt) % 60)
+                _report("Gradients", "Maximum", gstats["grad_max"], steps)
+                _report("Gradients", "Minimum", gstats["grad_min"], steps)
+                _report("Gradients", "Average (Abs)", gstats["grad_avg"], steps)
+                _report("Generator Batch Loss", "Train", g_loss, steps)
+                _report("Discriminator Batch Loss", "Train", d_loss, steps)
+                for name, value in frags.items():
+                    _report("Generator Batch Loss", name, value, steps)
+
+        avg_gen = float(np.mean(train_losses["generator"])) if train_losses["generator"] else 0.0
+        avg_dis = float(np.mean(train_losses["discriminator"])) if train_losses["discriminator"] else 0.0
+
+        if environment != "LAPTOP":
+            ckpt = os.path.join(job_dir, f"{task_name}checkpoint-{steps}")
+            save_checkpoint(ckpt, {"params_generator": state["params_generator"]},
+                            config=config)
+
+        # validation
+        gen_val = dis_val = 0.0
+        n_val = 0
+        for i_batch, (clean_batch, noise_batch) in enumerate(
+            zip(val_loaders[0], val_loaders[1])
+        ):
+            if environment == "LAPTOP" and i_batch == 3:
+                break
+            mixed = add_noise(clean_batch, noise_batch, mix_rng.integers(10, 20))
+            fn = steps_fns["eval_disc" if discriminator_enabled else "eval"]
+            g_loss, d_loss, _ = fn(state, jnp.asarray(mixed),
+                                   jnp.asarray(clean_batch))
+            gen_val += float(g_loss)
+            dis_val += float(d_loss)
+            n_val += 1
+        n_val = max(n_val, 1)
+        _report("Generator Loss", "Train", avg_gen, epoch)
+        _report("Generator Loss", "Validation", gen_val / n_val, epoch)
+        _report("Discriminator Loss", "Train", avg_dis, epoch)
+        _report("Discriminator Loss", "Validation", dis_val / n_val, epoch)
+        history.append({
+            "epoch": epoch, "train_gen": avg_gen, "train_dis": avg_dis,
+            "val_gen": gen_val / n_val, "val_dis": dis_val / n_val,
+        })
+    return state, history

@@ -1,0 +1,86 @@
+"""Optimizers / schedulers / freeze masks, built from reference-schema config.
+
+Maps the reference's torch optimizer+scheduler config keys
+(config/*/:`generator_optimizer_type: Adam`, `generator_scheduler_type:
+StepLR|MultiStepLR`, `*_grad_norm`) onto optax chains:
+
+    clip_by_global_norm (if grad_norm > 0) -> adam(lr=schedule)
+
+Freezing (torch ``requires_grad=False``, trainer/autoencoder.py:66-75,
+trainer/denoise.py:43-49) is functional: updates are applied, then frozen
+subtrees are restored from the pre-update params — exact "no step" semantics
+without restructuring the optimizer state at phase switches.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import optax
+
+
+def build_schedule(lr: float, scheduler_type: str | None, params: dict | None):
+    params = params or {}
+    if scheduler_type in (None, "none"):
+        return lr
+    if scheduler_type == "StepLR":
+        step_size = int(params.get("step_size", 1))
+        gamma = float(params.get("gamma", 1.0))
+        if gamma == 1.0:
+            return lr
+        return optax.exponential_decay(
+            init_value=lr, transition_steps=step_size, decay_rate=gamma,
+            staircase=True,
+        )
+    if scheduler_type == "MultiStepLR":
+        gamma = float(params.get("gamma", 0.5))
+        milestones = [int(m) for m in params.get("milestones", [])]
+        return optax.piecewise_constant_schedule(
+            init_value=lr, boundaries_and_scales={m: gamma for m in milestones}
+        )
+    raise NotImplementedError(f"scheduler {scheduler_type}")
+
+
+def build_optimizer(optimizer_type: str, optimizer_params: dict,
+                    scheduler_type: str | None = None,
+                    scheduler_params: dict | None = None,
+                    grad_norm: float = -1):
+    """Returns an optax GradientTransformation."""
+    if optimizer_type != "Adam":
+        raise NotImplementedError(f"optimizer {optimizer_type}")
+    lr = float(optimizer_params.get("lr", 1e-4))
+    betas = optimizer_params.get("betas", (0.9, 0.999))
+    wd = float(optimizer_params.get("weight_decay", 0.0))
+    schedule = build_schedule(lr, scheduler_type, scheduler_params)
+    if wd > 0.0:
+        opt = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+    else:
+        opt = optax.adam(schedule, b1=betas[0], b2=betas[1])
+    chain = [opt]
+    if grad_norm and grad_norm > 0:
+        chain.insert(0, optax.clip_by_global_norm(float(grad_norm)))
+    return optax.chain(*chain)
+
+
+def build_optimizer_from_config(config: dict, role: str):
+    """role in {'generator', 'discriminator'} with reference config keys."""
+    return build_optimizer(
+        config.get(f"{role}_optimizer_type", "Adam"),
+        config.get(f"{role}_optimizer_params", {}),
+        config.get(f"{role}_scheduler_type"),
+        config.get(f"{role}_scheduler_params"),
+        config.get(f"{role}_grad_norm", -1),
+    )
+
+
+def apply_updates_with_freeze(params, updates, frozen: Sequence[str]):
+    """optax.apply_updates, then restore top-level subtrees named in ``frozen``."""
+    new_params = optax.apply_updates(params, updates)
+    if not frozen:
+        return new_params
+    out = dict(new_params)
+    for name in frozen:
+        if name in params:
+            out[name] = params[name]
+    return out

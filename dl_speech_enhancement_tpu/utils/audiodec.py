@@ -1,0 +1,111 @@
+"""AudioDec facade + named model zoo.
+
+Re-designs reference utils/audiodec.py:17-164: a convenience wrapper that
+loads transmitter/receiver models from checkpoints (with their sibling
+config.yml) and the ``assign_model`` preset table mapping model names to
+experiment checkpoints + sample rates.
+
+The without-PQC variant (utils/audiodec_without_PQC.py) is the same facade
+with ``use_pqc=False`` — codes crossing tx->rx are raw encoder features
+instead of int indices.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from dl_speech_enhancement_tpu.stream.runtime import AudioCodec, AudioCodecStreamer
+
+# Streaming receptive lengths per preset (reference utils/audiodec.py:23
+# documents 7209 for symAD_vctk_48000_hop300; we round up to whole code
+# frames).
+_RECEPTIVE = {48000: 7500, 24000: 7500}
+
+
+def assign_model(model: str, exp_root: str = "exp"):
+    """Named presets -> (sample_rate, tx_steps, rx_steps checkpoints).
+
+    Mirrors utils/audiodec.py:106-164. Checkpoints are orbax directories
+    produced by cli.train; the vocoder presets pair an autoencoder analyzer
+    (tx) with a vocoder generator (rx)."""
+    def ae(tag, steps=200000):
+        return os.path.join(exp_root, "autoencoder", tag,
+                            f"checkpoint-{steps}steps")
+
+    def voc(tag, steps=500000):
+        return os.path.join(exp_root, "vocoder", tag,
+                            f"checkpoint-{steps}steps")
+
+    def dn(tag, steps=200000):
+        return os.path.join(exp_root, "denoise", tag,
+                            f"checkpoint-{steps}steps")
+
+    presets = {
+        "libritts_v1": (24000, ae("symAD_libritts_24000_hop300", 500000),
+                        voc("AudioDec_v1_symAD_libritts_24000_hop300_clean")),
+        "libritts_sym": (24000, ae("symAD_libritts_24000_hop300", 500000),
+                         ae("symAD_libritts_24000_hop300", 500000)),
+        "vctk_v0": (48000, ae("symAD_vctk_48000_hop300"),
+                    voc("AudioDec_v0_symAD_vctk_48000_hop300_clean")),
+        "vctk_v1": (48000, ae("symAD_vctk_48000_hop300"),
+                    voc("AudioDec_v1_symAD_vctk_48000_hop300_clean")),
+        "vctk_v2": (48000, ae("symAD_vctk_48000_hop300"),
+                    voc("AudioDec_v2_symAD_vctk_48000_hop300_clean")),
+        "vctk_sym": (48000, ae("symAD_vctk_48000_hop300", 500000),
+                     ae("symAD_vctk_48000_hop300", 500000)),
+        "vctk_v3": (48000, ae("symADuniv_vctk_48000_hop300", 500000),
+                    voc("AudioDec_v3_symADuniv_vctk_48000_hop300_clean")),
+        "vctk_univ_sym": (48000, ae("symADuniv_vctk_48000_hop300", 500000),
+                          ae("symADuniv_vctk_48000_hop300", 500000)),
+        "vctk_denoise": (48000, dn("symAD_vctk_48000_hop300"),
+                         ae("symAD_vctk_48000_hop300", 500000)),
+    }
+    if model not in presets:
+        raise NotImplementedError(f"Model {model} is not supported!")
+    return presets[model]
+
+
+def load_generator_from_checkpoint(checkpoint: str, use_pqc: bool = True):
+    """Build an AudioDecGenerator + restore (params, vq_state) from an orbax
+    checkpoint with its sibling config.yml."""
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.train.checkpoint import load_checkpoint
+    from dl_speech_enhancement_tpu.utils.config import load_config_beside
+
+    config = load_config_beside(checkpoint)
+    gen = AudioDecGenerator(**config["generator_params"], use_pqc=use_pqc)
+    params_like, vq_like = gen.init(jax.random.PRNGKey(0))
+    like = {"params_generator": params_like}
+    if use_pqc:
+        like["vq_state"] = vq_like
+    restored = load_checkpoint(checkpoint, like=like)
+    return gen, restored["params_generator"], restored.get("vq_state"), config
+
+
+class AudioDec:
+    """High-level codec facade (utils/audiodec.py:17-103)."""
+
+    def __init__(self, checkpoint: str, use_pqc: bool = True, batch: int = 1):
+        gen, params, vq_state, config = load_generator_from_checkpoint(
+            checkpoint, use_pqc=use_pqc
+        )
+        self.gen = gen
+        self.config = config
+        self.sample_rate = config.get("sampling_rate", 48000)
+        self.codec = AudioCodec(
+            gen, params, vq_state, batch=batch,
+            receptive_length=_RECEPTIVE.get(self.sample_rate, 7500),
+        )
+        self.codec.load()
+
+    def streamer(self, frame_size: int = 1200, **kw) -> AudioCodecStreamer:
+        tx = self.codec.tx_encoder
+        s = AudioCodecStreamer(
+            self.gen, tx.params, tx.vq_state, frame_size=frame_size,
+            sample_rate=self.sample_rate,
+            receptive_length=self.codec.receptive_length, **kw,
+        )
+        s.load()
+        return s

@@ -1,0 +1,197 @@
+"""CLI end-to-end tests on a tiny synthetic corpus (the LAPTOP smoke path)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from dl_speech_enhancement_tpu.data import write_wav
+
+SR = 4800
+
+TINY_GEN = dict(
+    input_channels=1, output_channels=1, encode_channels=8, decode_channels=8,
+    code_dim=16, codebook_num=2, codebook_size=32, bias=True,
+    enc_ratios=[2, 4], dec_ratios=[4, 2], enc_strides=[3, 4],
+    dec_strides=[4, 3], mode="causal", codec="audiodec",
+    projector="conv1d", quantier="residual_vq",
+)
+
+TINY_DISC = dict(
+    scales=2,
+    scale_downsample_pooling="AvgPool1d",
+    scale_downsample_pooling_params={"kernel_size": 4, "stride": 2, "padding": 2},
+    scale_discriminator_params={
+        "kernel_sizes": [15, 41, 5, 3], "channels": 8,
+        "max_downsample_channels": 32, "max_groups": 4,
+        "downsample_scales": [2, 2, 1],
+    },
+    follow_official_norm=True,
+    periods=[2, 3],
+    period_discriminator_params={
+        "kernel_sizes": [5, 3], "channels": 4,
+        "downsample_scales": [3, 3, 1], "max_downsample_channels": 16,
+    },
+)
+
+MEL_TINY = dict(fs=SR, fft_sizes=[256], hop_sizes=[60], win_lengths=[None],
+                window="hann_window", num_mels=20, fmin=0, fmax=SR // 2,
+                log_base=None)
+
+
+def _write_corpus(root, n=6, seconds=1.2):
+    rng = np.random.default_rng(11)
+    for sub in ("clean_train", "clean_valid", "noisy_train", "noisy_valid"):
+        d = os.path.join(root, sub)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            t = np.arange(int(SR * seconds)) / SR
+            x = 0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+            if sub.startswith("noisy"):
+                x = x + 0.1 * rng.standard_normal(len(t))
+            write_wav(os.path.join(d, f"utt{i}.wav"), x.astype(np.float32), SR)
+
+
+def _base_config(tmp_path, train_mode):
+    return {
+        "sampling_rate": SR,
+        "data": {
+            "path": str(tmp_path / "corpus"),
+            "subset": {
+                "clean_train": "clean_train", "clean_valid": "clean_valid",
+                "noisy_train": "noisy_train", "noisy_valid": "noisy_valid",
+                "train": "clean_train", "valid": "clean_valid",
+            },
+        },
+        "model_type": "symAudioDec",
+        "train_mode": train_mode,
+        "paradigm": "efficient",
+        "generator_params": TINY_GEN,
+        "discriminator_params": TINY_DISC,
+        "use_mel_loss": True,
+        "mel_loss_params": MEL_TINY,
+        "use_stft_loss": False,
+        "use_shape_loss": False,
+        "generator_adv_loss_params": {"average_by_discriminators": False},
+        "discriminator_adv_loss_params": {"average_by_discriminators": False},
+        "use_feat_match_loss": True,
+        "lambda_adv": 1.0, "lambda_feat_match": 2.0, "lambda_vq_loss": 1.0,
+        "lambda_mel_loss": 45.0,
+        "batch_size": 2,
+        "batch_length": 2400,
+        "generator_optimizer_type": "Adam",
+        "generator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+        "generator_scheduler_type": "StepLR",
+        "generator_scheduler_params": {"step_size": 1000, "gamma": 1.0},
+        "generator_grad_norm": -1,
+        "discriminator_optimizer_type": "Adam",
+        "discriminator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+        "discriminator_scheduler_type": "MultiStepLR",
+        "discriminator_scheduler_params": {"gamma": 0.5, "milestones": [1000]},
+        "discriminator_grad_norm": -1,
+        "start_steps": {"generator": 0, "discriminator": 4},
+        "train_max_steps": 6,
+        "save_interval_steps": 10 ** 9,
+        "eval_interval_steps": 10 ** 9,
+        "log_interval_steps": 3,
+        "seed": 5,
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus_root")
+    _write_corpus(os.path.join(root, "corpus"))
+    return root
+
+
+def test_cli_train_autoencoder_then_statistic_then_test(corpus, monkeypatch):
+    from dl_speech_enhancement_tpu.cli import train as train_cli
+    from dl_speech_enhancement_tpu.cli import statistic as stat_cli
+    from dl_speech_enhancement_tpu.cli import test as test_cli
+
+    monkeypatch.chdir(corpus)
+    cfg = _base_config(corpus, "autoencoder")
+    cfg_path = str(corpus / "ae.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    train_cli.main(["-c", cfg_path, "--tag", "tiny"])
+    ckpt = str(corpus / "exp" / "autoencoder" / "tiny" / "checkpoint-6steps")
+    assert os.path.isdir(ckpt)
+    assert os.path.exists(str(corpus / "exp" / "autoencoder" / "tiny" / "config.yml"))
+
+    # statistic workload over the analyzer
+    stat_cfg = {
+        "sampling_rate": SR,
+        "data": cfg["data"],
+        "analyzer": ckpt,
+        "stats": str(corpus / "stats" / "tiny.npy"),
+    }
+    stat_path = str(corpus / "stat.yaml")
+    with open(stat_path, "w") as f:
+        yaml.safe_dump(stat_cfg, f)
+    stat_cli.main(["-c", stat_path])
+    stats = np.load(stat_cfg["stats"])
+    assert stats.shape == (2, 16)
+
+    # offline codec test: RTF + wav dump
+    out_dir = str(corpus / "test_out")
+    mean_rtf = test_cli.run_codec_test(ckpt, str(corpus / "corpus" / "clean_valid"),
+                                       out_dir, subset_num=2)
+    assert np.isfinite(mean_rtf)
+    wavs = os.listdir(out_dir)
+    assert len(wavs) == 2
+
+
+def test_cli_train_denoise_framework(corpus, monkeypatch):
+    from dl_speech_enhancement_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(corpus)
+    cfg = _base_config(corpus, "denoise")
+    cfg["initial"] = str(corpus / "exp" / "autoencoder" / "tiny" / "checkpoint-6steps")
+    cfg["train_max_steps"] = 3
+    cfg_path = str(corpus / "dn.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_cli.main(["-c", cfg_path, "--tag", "tiny_dn"])
+    assert os.path.isdir(str(corpus / "exp" / "denoise" / "tiny_dn" / "checkpoint-3steps"))
+
+
+def test_cli_train_denoise_course_laptop(corpus, monkeypatch, tmp_path):
+    from dl_speech_enhancement_tpu.cli import train_denoise as course_cli
+
+    monkeypatch.chdir(corpus)
+    cfg = {
+        "sample_rate": SR, "initial_model": "", "step": 0,
+        "experiment_name": "tiny-course", "epochs": 1,
+        "epoch_to_enable_discriminator": 0,
+        "noise_dropout_rate": 0.5, "noise_dropout_rate_decay": 0.1,
+        "epoch_to_enable_noise_dropout_decay": 0, "seed": 9,
+        "lambda_snr_loss": 1.0,
+        "generator_params": TINY_GEN,
+        "discriminator_params": TINY_DISC,
+        "mel_loss_params": MEL_TINY,
+        "lambda_adv": 1.0, "lambda_feat_match": 2.0, "lambda_mel_loss": 45.0,
+        "generator_adv_loss_params": {"average_by_discriminators": False},
+        "discriminator_adv_loss_params": {"average_by_discriminators": False},
+        "generator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+        "discriminator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+        "generator_grad_norm": -1, "discriminator_grad_norm": -1,
+        "batch_size": 2,
+    }
+    cfg_dir = corpus / "configs" / "denoise"
+    os.makedirs(cfg_dir, exist_ok=True)
+    with open(cfg_dir / "tiny.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    state, history = course_cli.main([
+        "-e", "LAPTOP", "-c", "tiny.yaml",
+        "--config-dir", str(cfg_dir),
+        "--clean-path", str(corpus / "corpus" / "clean_train"),
+        "--noise-path", str(corpus / "corpus" / "noisy_train"),
+        "--job-dir", str(corpus / "job_out"),
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["val_gen"])

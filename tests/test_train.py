@@ -1,0 +1,240 @@
+"""End-to-end training tests: jitted steps run, losses decrease, checkpoints
+round-trip, freezes hold."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_speech_enhancement_tpu.models import (
+    AudioDecGenerator,
+    HiFiGANGenerator,
+    HiFiGANDiscriminator,
+)
+from dl_speech_enhancement_tpu.train.workloads.autoencoder import (
+    Trainer as AutoencoderTrainer,
+)
+from dl_speech_enhancement_tpu.train.workloads.denoise import (
+    Trainer as DenoiseTrainer,
+)
+from dl_speech_enhancement_tpu.train.workloads.vocoder import (
+    Trainer as VocoderTrainer,
+)
+from dl_speech_enhancement_tpu.train.workloads.statistic import compute_statistics
+from dl_speech_enhancement_tpu.train.denoise_course import (
+    make_course_steps, train_denoise_course,
+)
+from dl_speech_enhancement_tpu.train.optim import build_optimizer
+from dl_speech_enhancement_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint,
+)
+
+SMALL = dict(
+    encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
+    codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
+    enc_strides=(3, 4), dec_strides=(4, 3),
+)
+
+TINY_DISC = dict(
+    scales=2,
+    scale_discriminator_params={
+        "kernel_sizes": [15, 41, 5, 3], "channels": 8,
+        "max_downsample_channels": 32, "max_groups": 4,
+        "downsample_scales": [2, 2, 1],
+    },
+    periods=(2, 3),
+    period_discriminator_params={
+        "kernel_sizes": [5, 3], "channels": 4,
+        "downsample_scales": [3, 3, 1], "max_downsample_channels": 16,
+    },
+)
+
+MEL_TINY = dict(fs=4800, fft_sizes=[256], hop_sizes=[60], win_lengths=[256],
+                num_mels=20, fmin=0, fmax=2400, log_base=None)
+
+BASE_CONFIG = dict(
+    outdir=None,
+    use_mel_loss=True,
+    mel_loss_params=MEL_TINY,
+    lambda_mel_loss=45.0,
+    lambda_vq_loss=1.0,
+    lambda_adv=1.0,
+    lambda_feat_match=2.0,
+    use_feat_match_loss=True,
+    generator_adv_loss_params={"average_by_discriminators": False},
+    discriminator_adv_loss_params={"average_by_discriminators": False},
+    generator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+    discriminator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+    generator_grad_norm=-1,
+    discriminator_grad_norm=-1,
+    save_interval_steps=10**9,
+    eval_interval_steps=10**9,
+    log_interval_steps=10**9,
+    train_max_steps=10,
+    batch_size=2,
+    seed=0,
+)
+
+
+def _sine_batch(rng, b=2, t=240):
+    ph = rng.uniform(0, np.pi, (b, 1, 1))
+    tt = np.arange(t)[None, :, None] / 48.0
+    return (np.sin(2 * np.pi * tt + ph) * 0.5).astype(np.float32)
+
+
+def test_autoencoder_trainer_stage1_loss_decreases(tmp_path, rng):
+    config = dict(BASE_CONFIG, outdir=str(tmp_path),
+                  start_steps={"generator": 0, "discriminator": 10**9})
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    batches = [_sine_batch(rng) for _ in range(8)]
+    tr = AutoencoderTrainer(0, 0, {"train": batches}, gen, disc, config,
+                            key=jax.random.PRNGKey(0))
+    losses = []
+    for b in batches:
+        tr._train_step(b)
+        losses.append(tr.total_train_loss["train/generator_loss"])
+    per_step = np.diff([0] + losses)
+    assert per_step[-1] < per_step[0], f"loss did not decrease: {per_step}"
+
+
+def test_autoencoder_trainer_stage2_freezes_encoder(tmp_path, rng):
+    config = dict(BASE_CONFIG, outdir=str(tmp_path),
+                  start_steps={"generator": 0, "discriminator": 0})
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    b = _sine_batch(rng)
+    tr = AutoencoderTrainer(0, 0, {"train": [b]}, gen, disc, config,
+                            key=jax.random.PRNGKey(0))
+    enc_before = jax.tree_util.tree_map(
+        np.asarray, tr.state["params_generator"]["encoder"])
+    vq_before = np.asarray(tr.state["vq_state"].embed)
+    dec_before = jax.tree_util.tree_map(
+        np.asarray, tr.state["params_generator"]["decoder"])
+    disc_before = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tr.state["params_discriminator"]))
+    tr._train_step(b)
+    enc_after = jax.tree_util.tree_map(
+        np.asarray, tr.state["params_generator"]["encoder"])
+    # encoder + VQ frozen; decoder + discriminator moved
+    for x, y in zip(jax.tree_util.tree_leaves(enc_before),
+                    jax.tree_util.tree_leaves(enc_after)):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_array_equal(vq_before, np.asarray(tr.state["vq_state"].embed))
+    moved = any(
+        not np.allclose(x, y)
+        for x, y in zip(jax.tree_util.tree_leaves(dec_before),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(
+                                np.asarray,
+                                tr.state["params_generator"]["decoder"])))
+    )
+    assert moved
+    disc_after = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tr.state["params_discriminator"]))
+    assert any(not np.allclose(x, y) for x, y in zip(disc_before, disc_after))
+
+
+def test_denoise_trainer_freezes_decoder_and_vq(tmp_path, rng):
+    config = dict(BASE_CONFIG, outdir=str(tmp_path))
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    clean = _sine_batch(rng)
+    noisy = clean + 0.1 * rng.standard_normal(clean.shape).astype(np.float32)
+    tr = DenoiseTrainer(0, 0, {"train": [(noisy, clean)]}, gen, config,
+                        key=jax.random.PRNGKey(1))
+    dec_before = jax.tree_util.tree_map(
+        np.asarray, tr.state["params_generator"]["decoder"])
+    vq_before = np.asarray(tr.state["vq_state"].embed)
+    enc_before = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        np.asarray, tr.state["params_generator"]["encoder"]))
+    tr._train_step((noisy, clean))
+    for x, y in zip(jax.tree_util.tree_leaves(dec_before),
+                    jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+                        np.asarray, tr.state["params_generator"]["decoder"]))):
+        np.testing.assert_array_equal(x, y)
+    np.testing.assert_array_equal(vq_before, np.asarray(tr.state["vq_state"].embed))
+    enc_after = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        np.asarray, tr.state["params_generator"]["encoder"]))
+    assert any(not np.allclose(x, y) for x, y in zip(enc_before, enc_after))
+
+
+def test_vocoder_trainer_runs(tmp_path, rng):
+    config = dict(BASE_CONFIG, outdir=str(tmp_path),
+                  generator_train_start_steps=0,
+                  discriminator_train_start_steps=0)
+    analyzer = AudioDecGenerator(**SMALL, use_pqc=True)
+    ap, vqs = analyzer.init(jax.random.PRNGKey(3))
+    voc = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=32, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    b = _sine_batch(rng)
+    tr = VocoderTrainer(1, 0, {"train": [b]}, analyzer, ap, vqs, voc, disc,
+                        config, key=jax.random.PRNGKey(4))
+    ap_before = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, ap))
+    tr._train_step(b)
+    assert tr.total_train_loss["train/generator_loss"] != 0.0
+    # analyzer untouched
+    for x, y in zip(ap_before, jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, tr.state["params_analyzer"]))):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_statistic_workload(rng):
+    analyzer = AudioDecGenerator(**SMALL, use_pqc=True)
+    ap, vqs = analyzer.init(jax.random.PRNGKey(5))
+    clips = [rng.standard_normal((360, 1)).astype(np.float32) for _ in range(3)]
+    stats = compute_statistics(analyzer, ap, vqs, clips)
+    assert stats.shape == (2, 16)
+    assert np.all(stats[1] > 0)
+
+
+def test_course_loop_end_to_end(tmp_path, rng):
+    config = dict(
+        sample_rate=4800, epochs=2, epoch_to_enable_discriminator=1,
+        noise_dropout_rate=0.5, noise_dropout_rate_decay=0.1,
+        epoch_to_enable_noise_dropout_decay=0, seed=0, step=0,
+        mel_loss_params=MEL_TINY, lambda_mel_loss=45.0, lambda_snr_loss=1.0,
+        lambda_adv=1.0, lambda_feat_match=2.0,
+        generator_adv_loss_params={"average_by_discriminators": False},
+        discriminator_adv_loss_params={"average_by_discriminators": False},
+        generator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+        discriminator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+        generator_grad_norm=-1, discriminator_grad_norm=-1,
+        batch_size=2,
+    )
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    clean = [_sine_batch(rng) for _ in range(3)]
+    noise = [0.3 * rng.standard_normal((2, 240, 1)).astype(np.float32)
+             for _ in range(3)]
+    reports = []
+    state, history = train_denoise_course(
+        config, gen, disc, (clean, noise), (clean[:1], noise[:1]),
+        environment="LAPTOP", job_dir=str(tmp_path),
+        report=lambda *a: reports.append(a), key=jax.random.PRNGKey(0),
+    )
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["val_gen"])
+    # epoch 1 enabled the discriminator
+    assert history[1]["train_dis"] != 0.0
+    assert any(r[0] == "Gradients" for r in reports)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    params, vqs = gen.init(jax.random.PRNGKey(0))
+    opt = build_optimizer("Adam", {"lr": 1e-4})
+    state = {"params_generator": params, "vq_state": vqs,
+             "opt_generator": opt.init(params), "steps": 7}
+    path = str(tmp_path / "checkpoint-7steps")
+    save_checkpoint(path, state, config={"a": 1})
+    restored = load_checkpoint(path, like=state)
+    for x, y in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    import os
+    assert os.path.exists(str(tmp_path / "config.yml"))
