@@ -1,0 +1,159 @@
+"""Streaming runtime tests: codec roundtrip, streamer pipeline, stats,
+frame-drop protection, multi-stream batching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_speech_enhancement_tpu.models import AudioDecGenerator
+from dl_speech_enhancement_tpu.stream import (
+    AudioCodec,
+    AudioCodecStreamer,
+    StreamingTransmitter,
+    StreamingReceiver,
+)
+
+SMALL = dict(
+    encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
+    codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
+    enc_strides=(3, 4), dec_strides=(4, 3),
+)
+
+
+@pytest.fixture(scope="module")
+def pqc_model():
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    params, vq_state = gen.init(jax.random.PRNGKey(0))
+    return gen, params, vq_state
+
+
+@pytest.fixture(scope="module")
+def plain_model():
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(0))
+    return gen, params, None
+
+
+def test_codec_tx_rx_roundtrip(pqc_model, rng):
+    gen, params, vq_state = pqc_model
+    codec = AudioCodec(gen, params, vq_state, receptive_length=gen.hop * 8)
+    codec.load()  # primes both sides
+    chunk = rng.standard_normal((1, gen.hop * 4, 1)).astype(np.float32)
+    idx = codec._encode(jnp.asarray(chunk))
+    assert idx.dtype in (jnp.int32, jnp.int64)
+    assert idx.shape == (2, 1, 4)  # (codebooks, batch, frames)
+    y = codec._decode(idx)
+    assert y.shape == (1, gen.hop * 4, 1)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_codec_without_pqc_roundtrip(plain_model, rng):
+    gen, params, _ = plain_model
+    codec = AudioCodec(gen, params, None, receptive_length=gen.hop * 8)
+    codec.load()
+    chunk = rng.standard_normal((1, gen.hop * 4, 1)).astype(np.float32)
+    z = codec._encode(jnp.asarray(chunk))
+    assert z.shape == (1, 4, 32)  # raw features cross the boundary
+    y = codec._decode(z)
+    assert y.shape == (1, gen.hop * 4, 1)
+
+
+def test_streamer_pipeline_processes_all_frames(pqc_model, rng):
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    streamer = AudioCodecStreamer(
+        gen, params, vq_state, frame_size=frame, sample_rate=4800,
+        max_latency=10.0, receptive_length=gen.hop * 8,
+    )
+    streamer.load()
+    audio = rng.standard_normal((1, frame * 10, 1)).astype(np.float32) * 0.3
+    out = streamer.run_array(audio)
+    stats = streamer.stats()
+    assert stats["frames"] == 10
+    assert stats["frame_drops"] == 0
+    assert stats["encoder_ms_mean"] > 0
+    assert stats["decoder_ms_mean"] > 0
+    # output has the same total length (underflow zeros at the head)
+    assert out.shape[1] >= frame * 9
+
+
+def test_streamer_equivalence_with_direct_codec(pqc_model, rng):
+    """run_array output must equal direct chunked tx->rx (modulo the pipeline
+    delay of initial underflow zero-frames)."""
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    audio = rng.standard_normal((1, frame * 8, 1)).astype(np.float32) * 0.3
+
+    codec = AudioCodec(gen, params, vq_state, receptive_length=gen.hop * 8)
+    codec.load()
+    direct = []
+    for i in range(8):
+        idx = codec._encode(jnp.asarray(audio[:, i * frame : (i + 1) * frame]))
+        direct.append(np.asarray(codec._decode(idx)))
+    direct = np.concatenate(direct, axis=1)
+
+    streamer = AudioCodecStreamer(
+        gen, params, vq_state, frame_size=frame, sample_rate=4800,
+        max_latency=10.0, receptive_length=gen.hop * 8,
+    )
+    streamer.load()
+    out = streamer.run_array(audio)
+    # strip leading underflow zeros: find first frame with content
+    produced = [out[:, i * frame : (i + 1) * frame] for i in range(out.shape[1] // frame)]
+    nonzero = [i for i, p in enumerate(produced) if np.abs(p).sum() > 0]
+    assert nonzero, "no frames produced"
+    start = nonzero[0]
+    n = min(len(produced) - start, 8)
+    got = np.concatenate(produced[start : start + n], axis=1)
+    np.testing.assert_allclose(got, direct[:, : n * frame], atol=1e-5)
+
+
+def test_streamer_drops_frames_under_overload(pqc_model, rng):
+    """Latency above max_latency flushes all queues and counts drops
+    (bin/stream.py:253-267 semantics), exercised deterministically."""
+    import time
+
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    streamer = AudioCodecStreamer(
+        gen, params, vq_state, frame_size=frame, sample_rate=4800,
+        max_latency=0.01, receptive_length=gen.hop * 8,
+    )
+    # no worker threads: enqueue a stale output + backlog manually
+    stale = np.zeros((1, frame, 1), np.float32)
+    streamer.output_queue.put((stale, time.perf_counter() - 1.0))  # 1 s late
+    streamer.decoder_queue.put(("backlog", time.perf_counter()))
+    streamer.encoder_queue.put(("backlog", time.perf_counter()))
+    out = streamer._process(stale)
+    stats = streamer.stats()
+    assert stats["frame_drops"] >= 2  # the two backlog entries were flushed
+    assert streamer.encoder_queue.qsize() == 0
+    assert streamer.decoder_queue.qsize() == 0
+    assert stats["latency_ms_mean"] > 100
+
+
+def test_multi_stream_batching(pqc_model, rng):
+    """B streams batched through one cache: each stream's output equals its
+    single-stream run (stream independence)."""
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    tx4 = StreamingTransmitter(gen, params, vq_state, batch=4)
+    rx4 = StreamingReceiver(gen, params, vq_state, batch=4)
+    audio = rng.standard_normal((4, frame * 4, 1)).astype(np.float32) * 0.3
+
+    outs_batched = []
+    for i in range(4):
+        idx = tx4.encode(jnp.asarray(audio[:, i * frame : (i + 1) * frame]))
+        outs_batched.append(np.asarray(rx4.decode(idx)))
+    batched = np.concatenate(outs_batched, axis=1)
+
+    tx1 = StreamingTransmitter(gen, params, vq_state, batch=1)
+    rx1 = StreamingReceiver(gen, params, vq_state, batch=1)
+    outs_single = []
+    for i in range(4):
+        idx = tx1.encode(jnp.asarray(audio[2:3, i * frame : (i + 1) * frame]))
+        outs_single.append(np.asarray(rx1.decode(idx)))
+    single = np.concatenate(outs_single, axis=1)
+    np.testing.assert_allclose(batched[2:3], single, atol=1e-5)
