@@ -100,14 +100,15 @@ def test_streamer_equivalence_with_direct_codec(pqc_model, rng):
     )
     streamer.load()
     out = streamer.run_array(audio)
-    # strip leading underflow zeros: find first frame with content
-    produced = [out[:, i * frame : (i + 1) * frame] for i in range(out.shape[1] // frame)]
-    nonzero = [i for i, p in enumerate(produced) if np.abs(p).sum() > 0]
-    assert nonzero, "no frames produced"
-    start = nonzero[0]
-    n = min(len(produced) - start, 8)
-    got = np.concatenate(produced[start : start + n], axis=1)
-    np.testing.assert_allclose(got, direct[:, : n * frame], atol=1e-5)
+    # underflow zero-frames may interleave anywhere (output queue empty while
+    # the encoder catches up) — the *produced* frames must match the direct
+    # sequence in order.
+    produced = [out[:, i * frame : (i + 1) * frame]
+                for i in range(out.shape[1] // frame)]
+    nonzero = [p for p in produced if np.abs(p).sum() > 0]
+    assert len(nonzero) >= 4, "too few frames produced"
+    got = np.concatenate(nonzero[:8], axis=1)
+    np.testing.assert_allclose(got, direct[:, : got.shape[1]], atol=1e-5)
 
 
 def test_streamer_drops_frames_under_overload(pqc_model, rng):
