@@ -17,13 +17,46 @@ from scipy.signal import resample_poly
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Returns (audio (T, C) float32, sample_rate)."""
-    with wave.open(path, "rb") as f:
-        sr = f.getframerate()
-        n = f.getnframes()
-        ch = f.getnchannels()
-        sw = f.getsampwidth()
-        raw = f.readframes(n)
+    """Returns (audio (T, C) float32, sample_rate).
+
+    Self-contained RIFF parser: handles PCM (format 1), IEEE float (format
+    3), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) — stdlib ``wave`` rejects float
+    wavs, which the DNS noise corpus uses."""
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt_tag = None
+        sr = ch = sw = None
+        raw = None
+        while True:
+            chunk_hdr = f.read(8)
+            if len(chunk_hdr) < 8:
+                break
+            cid = chunk_hdr[:4]
+            size = int.from_bytes(chunk_hdr[4:8], "little")
+            if cid == b"fmt ":
+                fmt = f.read(size)
+                fmt_tag = int.from_bytes(fmt[0:2], "little")
+                ch = int.from_bytes(fmt[2:4], "little")
+                sr = int.from_bytes(fmt[4:8], "little")
+                sw = int.from_bytes(fmt[14:16], "little") // 8
+                if fmt_tag == 0xFFFE and size >= 40:  # extensible: subformat GUID
+                    fmt_tag = int.from_bytes(fmt[24:26], "little")
+            elif cid == b"data":
+                raw = f.read(size)
+            else:
+                f.seek(size + (size & 1), 1)
+            if size & 1 and cid == b"data":
+                f.seek(1, 1)
+        if raw is None or fmt_tag is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+    if fmt_tag == 3:  # IEEE float
+        dt = "<f4" if sw == 4 else "<f8"
+        x = np.frombuffer(raw, dtype=dt).astype(np.float32)
+        return x.reshape(-1, ch), sr
+    if fmt_tag != 1:
+        raise ValueError(f"{path}: unsupported WAVE format tag {fmt_tag}")
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 4:
