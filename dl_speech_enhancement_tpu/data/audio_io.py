@@ -19,9 +19,15 @@ from scipy.signal import resample_poly
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Returns (audio (T, C) float32, sample_rate).
 
-    Self-contained RIFF parser: handles PCM (format 1), IEEE float (format
-    3), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) — stdlib ``wave`` rejects float
-    wavs, which the DNS noise corpus uses."""
+    Uses the native C++ decoder (data/native.py) when built; otherwise a
+    self-contained Python RIFF parser. Both handle PCM (format 1), IEEE
+    float (format 3), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) — stdlib ``wave``
+    rejects float wavs, which the DNS noise corpus uses."""
+    from dl_speech_enhancement_tpu.data import native
+    if native.available():
+        result = native.read_wav(path)
+        if result is not None:
+            return result
     with open(path, "rb") as f:
         header = f.read(12)
         if header[:4] != b"RIFF" or header[8:12] != b"WAVE":

@@ -24,10 +24,20 @@ class CollaterAudio:
         if not xs:
             return None
         starts = [self.rng.integers(0, len(x) - self.batch_length) for x in xs]
-        out = np.stack(
+        return self._cut(xs, starts)
+
+    def _cut(self, xs, starts):
+        from dl_speech_enhancement_tpu.data import native
+        if native.available() and all(
+            x.dtype == np.float32 and x.shape[1:] == xs[0].shape[1:] for x in xs
+        ):
+            out = native.crop_batch(xs, np.asarray(starts, np.int64),
+                                    self.batch_length)
+            if out is not None:
+                return out
+        return np.stack(
             [x[s : s + self.batch_length] for x, s in zip(xs, starts)]
-        ).astype(np.float32)
-        return out  # (B, T, C)
+        ).astype(np.float32)  # (B, T, C)
 
 
 class CollaterAudioPair(CollaterAudio):
@@ -40,10 +50,6 @@ class CollaterAudioPair(CollaterAudio):
         xs = [b[0] for b in batch]
         ns = [b[1] for b in batch]
         starts = [self.rng.integers(0, len(x) - self.batch_length) for x in xs]
-        x_batch = np.stack(
-            [x[s : s + self.batch_length] for x, s in zip(xs, starts)]
-        ).astype(np.float32)
-        n_batch = np.stack(
-            [n[s : s + self.batch_length] for n, s in zip(ns, starts)]
-        ).astype(np.float32)
+        x_batch = self._cut(xs, starts)
+        n_batch = self._cut(ns, starts)
         return n_batch, x_batch  # (input, output) like collater.py:87

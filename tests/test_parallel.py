@@ -1,0 +1,106 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_speech_enhancement_tpu.models import (
+    AudioDecGenerator, HiFiGANDiscriminator,
+)
+from dl_speech_enhancement_tpu.parallel import (
+    make_mesh, shard_batch, shard_train_state,
+)
+from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
+from dl_speech_enhancement_tpu.train.optim import build_optimizer
+
+SMALL = dict(
+    encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
+    codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
+    enc_strides=(3, 4), dec_strides=(4, 3),
+)
+
+CONFIG = dict(
+    mel_loss_params=dict(fs=4800, fft_sizes=[256], hop_sizes=[60],
+                         win_lengths=[256], num_mels=20, fmin=0, fmax=2400,
+                         log_base=None),
+    lambda_mel_loss=45.0, lambda_snr_loss=1.0, lambda_adv=1.0,
+    lambda_feat_match=2.0,
+    generator_adv_loss_params={"average_by_discriminators": False},
+    discriminator_adv_loss_params={"average_by_discriminators": False},
+)
+
+TINY_DISC = dict(
+    scales=2,
+    scale_discriminator_params={
+        "kernel_sizes": [15, 41, 5, 3], "channels": 8,
+        "max_downsample_channels": 32, "max_groups": 4,
+        "downsample_scales": [2, 2, 1],
+    },
+    periods=(2, 3),
+    period_discriminator_params={
+        "kernel_sizes": [5, 3], "channels": 4,
+        "downsample_scales": [3, 3, 1], "max_downsample_channels": 16,
+    },
+)
+
+
+def _setup():
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    params_g, _ = gen.init(kg)
+    params_d = disc.init(kd)
+    opt_g = build_optimizer("Adam", {"lr": 1e-3, "betas": [0.5, 0.9]})
+    opt_d = build_optimizer("Adam", {"lr": 1e-3, "betas": [0.5, 0.9]})
+    state = {
+        "params_generator": params_g,
+        "params_discriminator": params_d,
+        "opt_generator": opt_g.init(params_g),
+        "opt_discriminator": opt_d.init(params_d),
+    }
+    steps = make_course_steps(gen, disc, CONFIG, opt_g, opt_d)
+    return state, steps
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8}
+
+
+def test_dp_step_matches_single_device():
+    """The same global batch must give the same loss and updated params
+    whether sharded over 8 devices or run on one (SPMD correctness)."""
+    rng = np.random.default_rng(0)
+    mixed = rng.standard_normal((8, 240, 1)).astype(np.float32)
+    clean = rng.standard_normal((8, 240, 1)).astype(np.float32)
+
+    state1, steps1 = _setup()
+    s1, g1, d1, _, _ = steps1["train_disc"](state1, jnp.asarray(mixed),
+                                            jnp.asarray(clean))
+
+    state2, steps2 = _setup()
+    mesh = make_mesh(8)
+    state2 = shard_train_state(mesh, state2)
+    s2, g2, d2, _, _ = steps2["train_disc"](
+        state2, shard_batch(mesh, mixed), shard_batch(mesh, clean)
+    )
+    np.testing.assert_allclose(float(g1), float(g2), rtol=2e-4)
+    np.testing.assert_allclose(float(d1), float(d2), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params_generator"]),
+                    jax.tree_util.tree_leaves(s2["params_generator"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_dp_scales_batch():
+    """A sharded 16-sample batch runs fine (2 per device)."""
+    state, steps = _setup()
+    mesh = make_mesh(8)
+    state = shard_train_state(mesh, state)
+    rng = np.random.default_rng(1)
+    mixed = shard_batch(mesh, rng.standard_normal((16, 240, 1)).astype(np.float32))
+    clean = shard_batch(mesh, rng.standard_normal((16, 240, 1)).astype(np.float32))
+    new_state, g, d, _, _ = steps["train_disc"](state, mixed, clean)
+    assert np.isfinite(float(g)) and np.isfinite(float(d))
