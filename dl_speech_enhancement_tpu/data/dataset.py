@@ -21,6 +21,16 @@ import numpy as np
 from dl_speech_enhancement_tpu.data.audio_io import load_audio
 
 
+def load_files(data_path: str, query: str = "*.wav", num_core: int = 1):
+    """Sorted file scan split into ``num_core`` chunks (reference
+    dataloader/utils.py — feeds the multiprocess resampler)."""
+    files = sorted(find_files(data_path, query))
+    if num_core <= 1:
+        return files
+    import numpy as np
+    return [list(chunk) for chunk in np.array_split(files, num_core) if len(chunk)]
+
+
 def find_files(root_dir: str, query: str = "*.wav", include_root_dir: bool = True):
     files = []
     for root, _, filenames in os.walk(root_dir, followlinks=True):

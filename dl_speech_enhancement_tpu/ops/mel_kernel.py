@@ -1,0 +1,137 @@
+"""Fused Pallas log-mel front-end kernel (TPU).
+
+The mel loss runs twice per training step (y_hat and y) and its torch
+counterpart is the hot spot of the reference loss stack
+(losses/mel_loss.py:88-94: stft -> power -> amplitude -> mel matmul -> log).
+On TPU the STFT-as-FFT route materializes the (frames, n_fft//2+1) complex
+spectrogram in HBM between the FFT and the mel matmul. This kernel instead
+evaluates the real DFT as **two MXU matmuls** against precomputed
+windowed-cosine/sine bases and fuses power, mel projection, clamp and log in
+VMEM — one HBM read of the frames, one HBM write of (frames, n_mels):
+
+    frames (Bf, n_fft) @ [win*cos, win*sin] (n_fft, n_freq)  -> re, im (MXU)
+    power = re^2 + im^2                                       (VPU)
+    mel   = clamp(sqrt(clamp(power)) @ melmat, eps)           (MXU)
+    out   = log(mel)                                          (VPU)
+
+The DFT-as-matmul costs ~100x the FLOPs of an FFT but runs on the 128x128
+systolic array at full utilization, while the fused pipeline saves the
+intermediate HBM round-trips; for n_fft <= 2048 this is the right trade on
+v5e. A pure-XLA fallback (dsp.mel pipeline) remains the default off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dl_speech_enhancement_tpu.dsp.stft import hann_window, frame_signal
+from dl_speech_enhancement_tpu.dsp.mel import mel_filterbank
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _bases(n_fft: int, win_length: int, sr: int, n_mels: int, fmin: float,
+           fmax: float):
+    """Windowed DFT bases and mel matrix, padded to lane multiples."""
+    n_freq = n_fft // 2 + 1
+    win = np.zeros(n_fft, np.float32)
+    w = np.asarray(hann_window(win_length))
+    left = (n_fft - win_length) // 2
+    win[left : left + win_length] = w
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(n_freq)[None, :]
+    ang = 2.0 * np.pi * t * k / n_fft
+    cos_b = (np.cos(ang) * win[:, None]).astype(np.float32)
+    sin_b = (-np.sin(ang) * win[:, None]).astype(np.float32)
+    mel = mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax)
+    # pad freq axis to a multiple of 128 so MXU tiles cleanly
+    n_freq_p = _round_up(n_freq, 128)
+    pad = n_freq_p - n_freq
+    cos_b = np.pad(cos_b, ((0, 0), (0, pad)))
+    sin_b = np.pad(sin_b, ((0, 0), (0, pad)))
+    mel = np.pad(mel, ((0, pad), (0, 0)))
+    n_mels_p = _round_up(n_mels, 128)
+    mel = np.pad(mel, ((0, 0), (0, n_mels_p - n_mels)))
+    return jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel)
+
+
+def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, eps, log_base):
+    f = frames_ref[...]
+    re = jnp.dot(f, cos_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, sin_ref[...], preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    amp = jnp.sqrt(jnp.maximum(power, eps))
+    mel = jnp.dot(amp, mel_ref[...], preferred_element_type=jnp.float32)
+    mel = jnp.maximum(mel, eps)
+    if log_base is None:
+        out = jnp.log(mel)
+    elif log_base == 2.0:
+        out = jnp.log2(mel)
+    else:
+        out = jnp.log10(mel)
+    out_ref[...] = out
+
+
+def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
+                       n_mels: int, fmin: float = 0.0, fmax: float | None = None,
+                       eps: float = 1e-10, log_base: float | None = None,
+                       block_frames: int = 128, interpret: bool = False):
+    """Build ``f(x (B, T)) -> (B, n_frames, n_mels)`` using the fused kernel.
+
+    Matches dsp.mel.log_mel_spectrogram (center=True reflect padding).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if win_length is None:
+        win_length = n_fft
+    if fmax is None:
+        fmax = sr / 2
+    cos_b, sin_b, mel_m = _bases(n_fft, win_length, sr, n_mels, fmin, fmax)
+    n_freq_p = cos_b.shape[1]
+    n_mels_p = mel_m.shape[1]
+
+    def fn(x: jax.Array) -> jax.Array:
+        if x.ndim == 3:  # (B, C, T) -> (B*C, T), like MelSpectrogram
+            x = x.reshape(-1, x.shape[-1])
+        b, t = x.shape
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        frames = frame_signal(xp, n_fft, hop)  # (B, n_frames, n_fft)
+        n_frames = frames.shape[1]
+        flat = frames.reshape(b * n_frames, n_fft)
+        total = flat.shape[0]
+        total_p = _round_up(total, block_frames)
+        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+
+        grid = (total_p // block_frames,)
+        out = pl.pallas_call(
+            functools.partial(_kernel, eps=eps, log_base=log_base),
+            out_shape=jax.ShapeDtypeStruct((total_p, n_mels_p), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_frames, n_fft), lambda i: (i, 0)),
+                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+                pl.BlockSpec((n_freq_p, n_mels_p), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_frames, n_mels_p), lambda i: (i, 0)),
+            interpret=interpret,
+        )(flat, cos_b, sin_b, mel_m)
+        return out[:total, :n_mels].reshape(b, n_frames, n_mels)
+
+    return fn
+
+
+def fused_log_mel(x, sr, n_fft, hop, win_length=None, n_mels=80, fmin=0.0,
+                  fmax=None, eps=1e-10, log_base=None):
+    """One-shot convenience wrapper around :func:`make_fused_log_mel`."""
+    return make_fused_log_mel(sr, n_fft, hop, win_length, n_mels, fmin, fmax,
+                              eps, log_base)(x)

@@ -157,6 +157,24 @@ class AudioCodecStreamer(AudioCodec):
         self.input_dump = [] if input_dump else None
         self.output_dump = [] if output_dump else None
         self._stop = threading.Event()
+        # frames inside the pipeline (enqueued but not yet emitted/dropped),
+        # including ones currently being processed by a worker thread
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+
+    def warmup(self):
+        """Compile the frame-shaped tx/rx steps ahead of the worker threads
+        (XLA first-compile would otherwise stall the pipeline for seconds),
+        then restore the pre-warmup cache state."""
+        tx_cache = jax.tree_util.tree_map(lambda x: x, self.tx_encoder.cache)
+        rx_cache = jax.tree_util.tree_map(lambda x: x, self.rx_encoder.cache)
+        zeros = jnp.zeros((self.tx_encoder.batch, self.frame_size,
+                           self.gen.input_channels), jnp.float32)
+        idx = self._encode(zeros)
+        y = self._decode(idx)
+        jax.block_until_ready(y)
+        self.tx_encoder.cache = tx_cache
+        self.rx_encoder.cache = rx_cache
 
     # ---------------- worker threads (bin/stream.py:184-239) ----------------
 
@@ -193,15 +211,21 @@ class AudioCodecStreamer(AudioCodec):
         self.n_frames += 1
         if self.input_dump is not None:
             self.input_dump.append(indata.copy())
+        with self._inflight_lock:
+            self._inflight += 1
         self.encoder_queue.put((jnp.asarray(indata), time.perf_counter()))
 
         try:
             out, t_in = self.output_queue.get_nowait()
+            with self._inflight_lock:
+                self._inflight -= 1
             latency = time.perf_counter() - t_in
             self.latencies.append(latency)
             if latency > self.max_latency:
                 dropped = self._flush_queues()
                 self.frame_drops += dropped
+                with self._inflight_lock:
+                    self._inflight -= dropped
         except queue.Empty:
             out = np.zeros_like(indata)
         if self.output_dump is not None:
@@ -221,9 +245,11 @@ class AudioCodecStreamer(AudioCodec):
 
     # ---------------- run modes ----------------
 
-    def run_array(self, audio: np.ndarray, realtime: bool = False):
+    def run_array(self, audio: np.ndarray, realtime: bool = False,
+                  drain_timeout: float = 10.0):
         """Drive the streamer from an in-memory array (B, T, C) — the
         file-driven analogue of the sounddevice loop; used by tests/bench."""
+        self.warmup()
         threads = [
             threading.Thread(target=self._encoder_worker, daemon=True),
             threading.Thread(target=self._decoder_worker, daemon=True),
@@ -242,16 +268,18 @@ class AudioCodecStreamer(AudioCodec):
                     dt = time.perf_counter() - t0
                     if dt < frame_time:
                         time.sleep(frame_time - dt)
-            # drain the pipeline
-            deadline = time.perf_counter() + 2.0
-            while (len(outs) < n + self._pending()) and time.perf_counter() < deadline:
+            # drain the pipeline: collect every in-flight frame (including
+            # ones still inside a worker thread, not yet in any queue)
+            deadline = time.perf_counter() + drain_timeout
+            while self._inflight > 0 and time.perf_counter() < deadline:
                 try:
                     out, t_in = self.output_queue.get(timeout=0.1)
                     self.latencies.append(time.perf_counter() - t_in)
                     outs.append(out)
+                    with self._inflight_lock:
+                        self._inflight -= 1
                 except queue.Empty:
-                    if self._pending() == 0:
-                        break
+                    continue
         finally:
             self._stop.set()
             for t in threads:
