@@ -38,8 +38,12 @@ class StreamingTransmitter:
 
     def __init__(self, gen, params, vq_state, batch: int = 1):
         self.gen = gen
-        self.params = params
-        self.vq_state = vq_state
+        # Pin weights/codebooks on device once — checkpoint restores hand
+        # back numpy arrays, and passing those to a jitted step would
+        # re-upload every parameter on every frame (catastrophic through a
+        # tunneled chip: ~400 ms/frame observed).
+        self.params = jax.device_put(params)
+        self.vq_state = jax.device_put(vq_state) if vq_state is not None else None
         self.batch = batch
         self.use_pqc = gen.use_pqc
 
@@ -78,10 +82,11 @@ class StreamingReceiver:
 
     def __init__(self, gen, params, vq_state, batch: int = 1):
         self.gen = gen
-        self.params = params
+        self.params = jax.device_put(params)  # see StreamingTransmitter
         self.batch = batch
         self.use_pqc = gen.use_pqc
-        self.flat_cb = gen.flat_codebook(vq_state) if self.use_pqc else None
+        self.flat_cb = (jax.device_put(gen.flat_codebook(jax.device_put(vq_state)))
+                        if self.use_pqc else None)
 
         def _step(params, flat_cb, cache, idx):
             zq = gen.lookup(flat_cb, idx) if self.use_pqc else idx
@@ -138,8 +143,28 @@ class AudioCodecStreamer(AudioCodec):
     def __init__(self, gen, params, vq_state, *, frame_size: int = 1200,
                  sample_rate: int = 48000, max_latency: float = 0.1,
                  batch: int = 1, receptive_length: int | None = None,
-                 input_dump=None, output_dump=None):
+                 input_dump=None, output_dump=None, fused: bool = True):
+        """``fused=True`` (default) runs encode->quantize->lookup->decode as
+        ONE jitted dispatch per frame in a single worker — half the
+        host<->device round trips of the two-thread tx/rx split. Set
+        ``fused=False`` for the reference's two-stage pipeline (e.g. when tx
+        and rx model different endpoints)."""
         super().__init__(gen, params, vq_state, batch, receptive_length)
+        self.fused = fused
+        if fused:
+            tx, rx = self.tx_encoder, self.rx_encoder
+
+            def _fused(params, flat_cb, vq_state, tx_cache, rx_cache, chunk):
+                z, tx_new = gen.encode_step(params, tx_cache, chunk)
+                if gen.use_pqc:
+                    idx = gen.quantize(vq_state, z)
+                    zq = gen.lookup(flat_cb, idx)
+                else:
+                    zq = z
+                y, rx_new = gen.decode_step(params, rx_cache, zq)
+                return y, tx_new, rx_new
+
+            self._fused_step = jax.jit(_fused)
         assert frame_size % gen.hop == 0, (
             f"frame_size {frame_size} must be a multiple of hop {gen.hop}"
         )
@@ -170,13 +195,25 @@ class AudioCodecStreamer(AudioCodec):
         rx_cache = jax.tree_util.tree_map(lambda x: x, self.rx_encoder.cache)
         zeros = jnp.zeros((self.tx_encoder.batch, self.frame_size,
                            self.gen.input_channels), jnp.float32)
-        idx = self._encode(zeros)
-        y = self._decode(idx)
+        if self.fused:
+            y = self._run_fused(zeros)
+        else:
+            idx = self._encode(zeros)
+            y = self._decode(idx)
         jax.block_until_ready(y)
         self.tx_encoder.cache = tx_cache
         self.rx_encoder.cache = rx_cache
 
     # ---------------- worker threads (bin/stream.py:184-239) ----------------
+
+    def _run_fused(self, frame):
+        tx, rx = self.tx_encoder, self.rx_encoder
+        y, tx_new, rx_new = self._fused_step(
+            tx.params, rx.flat_cb, tx.vq_state, tx.cache, rx.cache, frame
+        )
+        tx.cache.update(tx_new)
+        rx.cache.update(rx_new)
+        return y
 
     def _encoder_worker(self):
         while not self._stop.is_set():
@@ -185,6 +222,13 @@ class AudioCodecStreamer(AudioCodec):
             except queue.Empty:
                 continue
             t0 = time.perf_counter()
+            if self.fused:
+                y = np.asarray(self._run_fused(frame))
+                dt = time.perf_counter() - t0
+                self.enc_times.append(dt / 2)
+                self.dec_times.append(dt / 2)
+                self.output_queue.put((y, t_in))
+                continue
             idx = self._encode(frame)
             jax.block_until_ready(idx)
             self.enc_times.append(time.perf_counter() - t0)

@@ -50,12 +50,16 @@ def load_checkpoint(path: str, like: dict | None = None) -> dict:
         target = _to_numpy(like)
         restore_args = ocp.checkpoint_utils.construct_restore_args(target)
         ptckptr = ocp.PyTreeCheckpointer()
-        return ptckptr.restore(
+        restored = ptckptr.restore(
             path,
             args=ocp.args.PyTreeRestore(
                 item=target, restore_args=restore_args, partial_restore=True
             ),
         )
+        # Pin on device: orbax hands back numpy, and numpy leaves passed to a
+        # jitted function re-upload on EVERY call (≈400 ms/step for the full
+        # model through the tunneled chip).
+        return jax.device_put(restored)
     return ckptr.restore(path)
 
 

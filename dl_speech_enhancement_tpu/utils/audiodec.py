@@ -81,7 +81,12 @@ def load_generator_from_checkpoint(checkpoint: str, use_pqc: bool = True):
     if use_pqc:
         like["vq_state"] = vq_like
     restored = load_checkpoint(checkpoint, like=like)
-    return gen, restored["params_generator"], restored.get("vq_state"), config
+    # orbax returns numpy — pin on device so jitted consumers don't re-upload
+    # the weights on every call
+    params = jax.device_put(restored["params_generator"])
+    vq_state = (jax.device_put(restored["vq_state"])
+                if "vq_state" in restored else None)
+    return gen, params, vq_state, config
 
 
 class AudioDec:

@@ -1,0 +1,116 @@
+"""CLI tests: stream, testing_denoise, dnsmos, analyze on a tiny setup."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from conftest import requires_reference
+from dl_speech_enhancement_tpu.data import write_wav
+
+SR = 4800
+
+TINY_GEN = dict(
+    input_channels=1, output_channels=1, encode_channels=8, decode_channels=8,
+    code_dim=16, codebook_num=2, codebook_size=32, bias=True,
+    enc_ratios=[2, 4], dec_ratios=[4, 2], enc_strides=[3, 4],
+    dec_strides=[4, 3], mode="causal", codec="audiodec",
+    projector="conv1d", quantier="residual_vq",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    """A saved tiny PQC checkpoint with config.yml beside it."""
+    import jax
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.train.checkpoint import save_checkpoint
+
+    root = tmp_path_factory.mktemp("ckpt_root")
+    gen = AudioDecGenerator(**TINY_GEN, use_pqc=True)
+    params, vqs = gen.init(jax.random.PRNGKey(0))
+    config = {"sampling_rate": SR, "generator_params": TINY_GEN,
+              "model_type": "symAudioDec"}
+    path = str(root / "checkpoint-1steps")
+    save_checkpoint(path, {"params_generator": params, "vq_state": vqs},
+                    config=config)
+    return path
+
+
+def test_stream_cli_file_mode(tiny_ckpt, tmp_path, rng):
+    from dl_speech_enhancement_tpu.cli import stream as stream_cli
+
+    wav_in = str(tmp_path / "in.wav")
+    write_wav(wav_in, (0.3 * rng.standard_normal(SR * 2)).astype(np.float32), SR)
+    wav_out = str(tmp_path / "out.wav")
+    stats = stream_cli.main([
+        "--checkpoint", tiny_ckpt, "-i", wav_in, "-o", wav_out,
+        "--frame-size", "24", "--max-latency", "10",
+    ])
+    assert os.path.exists(wav_out)
+    assert stats["frames"] > 0
+    assert stats["encoder_ms_mean"] > 0
+
+
+def test_stream_cli_without_pqc(tmp_path, rng):
+    import jax
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.train.checkpoint import save_checkpoint
+    from dl_speech_enhancement_tpu.cli import stream as stream_cli
+
+    gen = AudioDecGenerator(**TINY_GEN, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(1))
+    ckpt = str(tmp_path / "dn" / "checkpoint-1steps")
+    save_checkpoint(ckpt, {"params_generator": params},
+                    config={"sample_rate": SR, "generator_params": TINY_GEN})
+    wav_in = str(tmp_path / "in.wav")
+    write_wav(wav_in, (0.3 * rng.standard_normal(SR)).astype(np.float32), SR)
+    stats = stream_cli.main([
+        "--checkpoint", ckpt, "--without-pqc", "-i", wav_in,
+        "-o", str(tmp_path / "out.wav"), "--frame-size", "24",
+        "--max-latency", "10",
+    ])
+    assert stats["frames"] > 0
+
+
+@requires_reference
+def test_dnsmos_cli_scores_directory(tmp_path):
+    from dl_speech_enhancement_tpu.cli import dnsmos as dnsmos_cli
+    from dl_speech_enhancement_tpu.data import load_audio
+
+    d = tmp_path / "modelA"
+    d.mkdir()
+    x = load_audio("/root/reference/notebook_files/clean1.wav", 16000)
+    write_wav(str(d / "test-0.wav"), x[:, 0], 16000)
+    df = dnsmos_cli.main(["-t", str(tmp_path), "-o", str(tmp_path / "s.csv")])
+    assert len(df) == 1
+    assert os.path.exists(str(tmp_path / "s.csv"))
+    assert df.iloc[0]["SIG"] > 2.5
+
+
+def test_testing_denoise_flagship_dump(tmp_path, rng):
+    """infer_split writes per-model wavs with the expected naming."""
+    import jax
+    import jax.numpy as jnp
+    from dl_speech_enhancement_tpu.cli.testing_denoise import infer_split
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+
+    gen = AudioDecGenerator(**TINY_GEN, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def infer(x):
+        y, *_ = gen(params, None, x, train=False)
+        return y
+
+    clean = [rng.standard_normal((2, 240, 1)).astype(np.float32) for _ in range(2)]
+    noise = [0.1 * rng.standard_normal((2, 240, 1)).astype(np.float32) for _ in range(2)]
+    counters = infer_split(
+        {"flag": (infer, gen.hop)}, clean, noise, str(tmp_path), SR,
+        np.random.default_rng(0),
+    )
+    assert counters["flag"] == 4
+    assert os.path.exists(str(tmp_path / "flag" / "test-3.wav"))
+    assert os.path.exists(str(tmp_path / "noisy" / "test-0.wav"))
+    assert os.path.exists(str(tmp_path / "clean" / "test-0.wav"))
