@@ -22,19 +22,34 @@ def log_stft_magnitude_loss(x_mag, y_mag):
 
 class STFTLoss:
     def __init__(self, fft_size=1024, hop_size=120, win_length=600,
-                 window="hann_window"):
+                 window="hann_window", backend="auto"):
+        """``backend``: 'xla' FFT pipeline, 'pallas' fused MXU DFT kernel
+        (ops/mel_kernel.make_fused_stft_magnitude), 'auto' = pallas on TPU."""
         assert window == "hann_window"
         self.fft_size = fft_size
         self.hop_size = hop_size
         self.win_length = win_length
         self.window = hann_window(win_length)
+        if backend == "auto":
+            import jax
+            backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        self._fused = None
+        if backend == "pallas":
+            from dl_speech_enhancement_tpu.ops.mel_kernel import (
+                make_fused_stft_magnitude,
+            )
+            self._fused = make_fused_stft_magnitude(fft_size, hop_size, win_length)
+
+    def _mag(self, x):
+        if self._fused is not None:
+            return self._fused(x)
+        return stft_magnitude(x, self.window, n_fft=self.fft_size,
+                              hop=self.hop_size, win_length=self.win_length)
 
     def __call__(self, x, y):
         """x, y: (B, T). Returns (sc_loss, mag_loss)."""
-        x_mag = stft_magnitude(x, self.window, n_fft=self.fft_size,
-                               hop=self.hop_size, win_length=self.win_length)
-        y_mag = stft_magnitude(y, self.window, n_fft=self.fft_size,
-                               hop=self.hop_size, win_length=self.win_length)
+        x_mag = self._mag(x)
+        y_mag = self._mag(y)
         return spectral_convergence_loss(x_mag, y_mag), log_stft_magnitude_loss(
             x_mag, y_mag
         )
@@ -42,10 +57,11 @@ class STFTLoss:
 
 class MultiResolutionSTFTLoss:
     def __init__(self, fft_sizes=(1024, 2048, 512), hop_sizes=(120, 240, 50),
-                 win_lengths=(600, 1200, 240), window="hann_window"):
+                 win_lengths=(600, 1200, 240), window="hann_window",
+                 backend="auto"):
         assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
         self.losses = [
-            STFTLoss(f, h, w, window)
+            STFTLoss(f, h, w, window, backend=backend)
             for f, h, w in zip(fft_sizes, hop_sizes, win_lengths)
         ]
 

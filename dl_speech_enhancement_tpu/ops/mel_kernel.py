@@ -135,3 +135,51 @@ def fused_log_mel(x, sr, n_fft, hop, win_length=None, n_mels=80, fmin=0.0,
     """One-shot convenience wrapper around :func:`make_fused_log_mel`."""
     return make_fused_log_mel(sr, n_fft, hop, win_length, n_mels, fmin, fmax,
                               eps, log_base)(x)
+
+
+def _mag_kernel(frames_ref, cos_ref, sin_ref, out_ref, *, eps):
+    f = frames_ref[...]
+    re = jnp.dot(f, cos_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, sin_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = jnp.sqrt(jnp.maximum(re * re + im * im, eps))
+
+
+def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
+                              eps: float = 1e-7, block_frames: int = 128,
+                              interpret: bool = False):
+    """Fused magnitude spectrogram ``f(x (B, T)) -> (B, frames, n_fft//2+1)``
+    via the same DFT-as-MXU-matmul trick — for the multi-resolution STFT
+    loss front-end (dsp.stft.stft_magnitude semantics)."""
+    from jax.experimental import pallas as pl
+
+    cos_b, sin_b, _ = _bases(n_fft, win_length, 16000, 1, 0.0, 8000.0)
+    n_freq = n_fft // 2 + 1
+    n_freq_p = cos_b.shape[1]
+
+    def fn(x: jax.Array) -> jax.Array:
+        if x.ndim == 3:
+            x = x.reshape(-1, x.shape[-1])
+        b, t = x.shape
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        frames = frame_signal(xp, n_fft, hop)
+        n_frames = frames.shape[1]
+        flat = frames.reshape(b * n_frames, n_fft)
+        total = flat.shape[0]
+        total_p = _round_up(total, block_frames)
+        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_mag_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct((total_p, n_freq_p), jnp.float32),
+            grid=(total_p // block_frames,),
+            in_specs=[
+                pl.BlockSpec((block_frames, n_fft), lambda i: (i, 0)),
+                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_frames, n_freq_p), lambda i: (i, 0)),
+            interpret=interpret,
+        )(flat, cos_b, sin_b)
+        return out[:total, :n_freq].reshape(b, n_frames, n_freq)
+
+    return fn

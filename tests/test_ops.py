@@ -37,6 +37,21 @@ def test_fused_log_mel_window_shorter_than_fft(rng):
     np.testing.assert_allclose(a, b, atol=5e-3)
 
 
+def test_fused_stft_magnitude_matches_xla(rng):
+    from dl_speech_enhancement_tpu.ops import make_fused_stft_magnitude
+    from dl_speech_enhancement_tpu.dsp.stft import hann_window, stft_magnitude
+    import jax.numpy as jnp
+
+    n_fft, hop, win = 512, 120, 240
+    x = rng.standard_normal((2, 4800)).astype(np.float32)
+    fused = make_fused_stft_magnitude(n_fft, hop, win, interpret=True)
+    a = np.asarray(fused(jnp.asarray(x)))
+    b = np.asarray(stft_magnitude(jnp.asarray(x), hann_window(win),
+                                  n_fft=n_fft, hop=hop, win_length=win))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
 def test_fused_log_mel_channels_layout(rng):
     """(B, C, T) inputs fold into the batch like the XLA path."""
     sr, n_fft, hop, n_mels = 48000, 512, 300, 80
