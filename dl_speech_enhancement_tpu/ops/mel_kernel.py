@@ -98,21 +98,10 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
     n_freq_p = cos_b.shape[1]
     n_mels_p = mel_m.shape[1]
 
-    def fn(x: jax.Array) -> jax.Array:
-        if x.ndim == 3:  # (B, C, T) -> (B*C, T), like MelSpectrogram
-            x = x.reshape(-1, x.shape[-1])
-        b, t = x.shape
-        pad = n_fft // 2
-        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-        frames = frame_signal(xp, n_fft, hop)  # (B, n_frames, n_fft)
-        n_frames = frames.shape[1]
-        flat = frames.reshape(b * n_frames, n_fft)
-        total = flat.shape[0]
-        total_p = _round_up(total, block_frames)
-        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-
+    def _pallas_core(flat):
+        total_p = flat.shape[0]
         grid = (total_p // block_frames,)
-        out = pl.pallas_call(
+        return pl.pallas_call(
             functools.partial(_kernel, eps=eps, log_base=log_base),
             out_shape=jax.ShapeDtypeStruct((total_p, n_mels_p), jnp.float32),
             grid=grid,
@@ -125,6 +114,52 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
             out_specs=pl.BlockSpec((block_frames, n_mels_p), lambda i: (i, 0)),
             interpret=interpret,
         )(flat, cos_b, sin_b, mel_m)
+
+    # The kernel itself is not reverse-differentiable; give it an analytic
+    # VJP (training losses backprop through the mel front-end). Backward is
+    # three MXU matmuls in plain XLA — the forward residual is just the
+    # frame block.
+    @jax.custom_vjp
+    def core(flat):
+        return _pallas_core(flat)
+
+    def core_fwd(flat):
+        return _pallas_core(flat), flat
+
+    def core_bwd(flat, g):
+        re = flat @ cos_b
+        im = flat @ sin_b
+        power = re * re + im * im
+        amp = jnp.sqrt(jnp.maximum(power, eps))
+        mel_raw = amp @ mel_m
+        mel = jnp.maximum(mel_raw, eps)
+        if log_base is None:
+            scale = 1.0
+        elif log_base == 2.0:
+            scale = 1.0 / np.log(2.0)
+        else:
+            scale = 1.0 / np.log(10.0)
+        d_mel = jnp.where(mel_raw >= eps, g * scale / mel, 0.0)
+        d_amp = d_mel @ mel_m.T
+        d_power = jnp.where(power >= eps, d_amp * 0.5 / amp, 0.0)
+        d_flat = (2.0 * re * d_power) @ cos_b.T + (2.0 * im * d_power) @ sin_b.T
+        return (d_flat,)
+
+    core.defvjp(core_fwd, core_bwd)
+
+    def fn(x: jax.Array) -> jax.Array:
+        if x.ndim == 3:  # (B, C, T) -> (B*C, T), like MelSpectrogram
+            x = x.reshape(-1, x.shape[-1])
+        b, t = x.shape
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        frames = frame_signal(xp, n_fft, hop)  # (B, n_frames, n_fft)
+        n_frames = frames.shape[1]
+        flat = frames.reshape(b * n_frames, n_fft)
+        total = flat.shape[0]
+        total_p = _round_up(total, block_frames)
+        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+        out = core(flat)
         return out[:total, :n_mels].reshape(b, n_frames, n_mels)
 
     return fn
@@ -156,6 +191,42 @@ def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
     n_freq = n_fft // 2 + 1
     n_freq_p = cos_b.shape[1]
 
+    def _pallas_core(flat):
+        total_p = flat.shape[0]
+        return pl.pallas_call(
+            functools.partial(_mag_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct((total_p, n_freq_p), jnp.float32),
+            grid=(total_p // block_frames,),
+            in_specs=[
+                pl.BlockSpec((block_frames, n_fft), lambda i: (i, 0)),
+                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_frames, n_freq_p), lambda i: (i, 0)),
+            interpret=interpret,
+        )(flat, cos_b, sin_b)
+
+    @jax.custom_vjp
+    def core(flat):
+        return _pallas_core(flat)
+
+    def core_fwd(flat):
+        return _pallas_core(flat), flat
+
+    def core_bwd(flat, g):
+        re = flat @ cos_b
+        im = flat @ sin_b
+        power = re * re + im * im
+        amp = jnp.sqrt(jnp.maximum(power, eps))
+        # pad grad to the lane-padded freq width
+        g = jnp.pad(g, ((0, 0), (0, n_freq_p - g.shape[1]))) \
+            if g.shape[1] != n_freq_p else g
+        d_power = jnp.where(power >= eps, g * 0.5 / amp, 0.0)
+        d_flat = (2.0 * re * d_power) @ cos_b.T + (2.0 * im * d_power) @ sin_b.T
+        return (d_flat,)
+
+    core.defvjp(core_fwd, core_bwd)
+
     def fn(x: jax.Array) -> jax.Array:
         if x.ndim == 3:
             x = x.reshape(-1, x.shape[-1])
@@ -168,18 +239,7 @@ def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
         total = flat.shape[0]
         total_p = _round_up(total, block_frames)
         flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-        out = pl.pallas_call(
-            functools.partial(_mag_kernel, eps=eps),
-            out_shape=jax.ShapeDtypeStruct((total_p, n_freq_p), jnp.float32),
-            grid=(total_p // block_frames,),
-            in_specs=[
-                pl.BlockSpec((block_frames, n_fft), lambda i: (i, 0)),
-                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
-                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((block_frames, n_freq_p), lambda i: (i, 0)),
-            interpret=interpret,
-        )(flat, cos_b, sin_b)
+        out = core(flat)
         return out[:total, :n_freq].reshape(b, n_frames, n_freq)
 
     return fn
