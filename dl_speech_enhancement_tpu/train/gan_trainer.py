@@ -141,7 +141,12 @@ class TrainerGAN:
         state["epochs"] = self.epochs
         save_checkpoint(path, state, config=self.config)
 
-    def load_checkpoint(self, path: str, load_only_params: bool = False):
+    def load_checkpoint(self, path: str, load_only_params: bool = False,
+                        load_discriminator: bool = True):
+        """Restore training state (trainerGAN.py:124-149 contract):
+        ``load_only_params`` skips optimizer states and counters;
+        ``load_discriminator=False`` keeps the discriminator's optimizer
+        state fresh (params still load)."""
         like = dict(self.state)
         like["steps"] = self.steps
         like["epochs"] = self.epochs
@@ -153,6 +158,8 @@ class TrainerGAN:
         else:
             self.steps = int(restored.pop("steps", self.steps))
             self.epochs = int(restored.pop("epochs", self.epochs))
+            if not load_discriminator:
+                restored.pop("opt_discriminator", None)
             for key, value in restored.items():
                 if key in self.state:
                     self.state[key] = value

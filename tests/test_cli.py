@@ -159,6 +159,24 @@ def test_cli_train_denoise_framework(corpus, monkeypatch):
     assert os.path.isdir(str(corpus / "exp" / "denoise" / "tiny_dn" / "checkpoint-3steps"))
 
 
+def test_cli_train_resume(corpus, monkeypatch):
+    """--resume restores steps and continues to the (raised) max."""
+    from dl_speech_enhancement_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(corpus)
+    cfg = _base_config(corpus, "autoencoder")
+    cfg["train_max_steps"] = 9
+    cfg_path = str(corpus / "ae_resume.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    ckpt = str(corpus / "exp" / "autoencoder" / "tiny" / "checkpoint-6steps")
+    train_cli.main(["-c", cfg_path, "--tag", "tiny_resumed",
+                    "--resume", ckpt])
+    assert os.path.isdir(
+        str(corpus / "exp" / "autoencoder" / "tiny_resumed" / "checkpoint-9steps")
+    )
+
+
 def test_cli_train_denoise_course_laptop(corpus, monkeypatch, tmp_path):
     from dl_speech_enhancement_tpu.cli import train_denoise as course_cli
 
