@@ -68,6 +68,34 @@ class DataLoader:
             yield item
 
 
+def prefetch_to_device(iterator, size: int = 2):
+    """Overlap host->device batch upload with device compute: device_put the
+    next ``size`` batches ahead while the current step runs. Significant when
+    the link to the chip is slow (tunneled chips here: ~40 ms per 3 MB
+    batch); a no-op-cost wrapper otherwise."""
+    import collections
+    import jax
+
+    queue_: collections.deque = collections.deque()
+
+    def _put(batch):
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue_.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while queue_:
+        out = queue_.popleft()
+        try:
+            queue_.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def create_dataloader(dataset, batch_size, batch_length, seed, pair=False,
                       prefetch: int = 2):
     from dl_speech_enhancement_tpu.data.collate import CollaterAudioPair
