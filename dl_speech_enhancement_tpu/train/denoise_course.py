@@ -186,6 +186,10 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
 
         logger.info("Epoch %d", epoch)
         train_losses = {"generator": [], "discriminator": []}
+        # note: mixing happens on host (numpy), so batches stay host-side
+        # here; the jitted step's arguments upload while the previous step
+        # computes (async dispatch) — prefetch_to_device is used by the
+        # framework trainers whose batches go straight to device.
         for i_batch, (clean_batch, noise_batch) in enumerate(
             zip(train_loaders[0], train_loaders[1])
         ):

@@ -62,8 +62,12 @@ class TrainerGAN:
         logger.info("Finished training.")
 
     def _train_epoch(self):
+        from dl_speech_enhancement_tpu.data.loader import prefetch_to_device
+
         train_steps_per_epoch = 0
-        for train_steps_per_epoch, batch in enumerate(self.data_loader["train"], 1):
+        for train_steps_per_epoch, batch in enumerate(
+            prefetch_to_device(self.data_loader["train"]), 1
+        ):
             self._train_step(batch)
             self._check_log_interval()
             self._check_eval_interval()
