@@ -57,7 +57,6 @@ def main(argv=None):
     from dl_speech_enhancement_tpu.models import (
         AudioDecGenerator, HiFiGANDiscriminator,
     )
-    from dl_speech_enhancement_tpu.models.hifigan import HiFiGANDiscriminator as _D
     from dl_speech_enhancement_tpu.train.denoise_course import train_denoise_course
     from dl_speech_enhancement_tpu.train.checkpoint import load_checkpoint
 

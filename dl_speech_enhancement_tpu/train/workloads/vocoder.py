@@ -12,6 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import functools
+
+import optax
+
 from dl_speech_enhancement_tpu.train.criterion import (
     build_criterion, metric_loss, adv_loss, dis_loss,
 )
@@ -55,7 +59,6 @@ def make_vocoder_steps(analyzer, gen, disc, config, opt_g, opt_d):
             updates, new_opt = opt_g.update(
                 grads, state["opt_generator"], state["params_generator"]
             )
-            import optax
             new_state = dict(state)
             new_state["params_generator"] = optax.apply_updates(
                 state["params_generator"], updates
@@ -79,7 +82,6 @@ def make_vocoder_steps(analyzer, gen, disc, config, opt_g, opt_d):
         updates, new_opt = opt_d.update(
             grads, state["opt_discriminator"], state["params_discriminator"]
         )
-        import optax
         new_state = dict(state)
         new_state["params_discriminator"] = optax.apply_updates(
             state["params_discriminator"], updates
@@ -102,7 +104,6 @@ def make_vocoder_steps(analyzer, gen, disc, config, opt_g, opt_d):
         frags["generator_loss"] = total
         return frags
 
-    import functools
     return {
         "gen": _make_gen_step(use_adv=False),
         "gen_adv": _make_gen_step(use_adv=True),
