@@ -247,7 +247,9 @@ class HiFiGANGenerator:
         for i in range(self.num_upsamples):
             c = self.upsamples[i](p["upsamples"][i], _leaky(c, self.negative_slope))
             c = self.blocks[i](p["blocks"][i], c)
-        c = self.output_conv(p["output_conv"], _leaky(c))
+        # upstream uses a default LeakyReLU (slope 0.01) before the output
+        # conv (HiFiGAN.py:116), unlike the 0.1 used elsewhere
+        c = self.output_conv(p["output_conv"], _leaky(c, 0.01))
         return jnp.tanh(c)
 
     def init_cache(self, batch):
@@ -270,7 +272,7 @@ class HiFiGANGenerator:
             c, bc = self.blocks[i].step(p["blocks"][i], cache["blocks"][i], c)
             new_blocks.append(bc)
         c, oc = self.output_conv.step(p["output_conv"], cache["output_conv"],
-                                      _leaky(c))
+                                      _leaky(c, 0.01))
         y = jnp.tanh(c)
         return y, {"input_conv": ic, "upsamples": new_up,
                    "blocks": new_blocks, "output_conv": oc}

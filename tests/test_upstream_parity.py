@@ -1,0 +1,192 @@
+"""Deep parity vs the upstream torch implementation with transplanted weights.
+
+These tests import the reference repo (read-only mount) and require exact or
+near-exact numerical agreement. torchaudio is unavailable, so modules that
+import it (the discriminator zoo) are stubbed out before importing upstream
+HiFiGAN — only generator paths are compared.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference, add_reference_to_path
+
+
+def _stub_torchaudio():
+    if "torchaudio" in sys.modules:
+        return
+    ta = types.ModuleType("torchaudio")
+    func = types.ModuleType("torchaudio.functional")
+    func.spectrogram = lambda *a, **k: None
+    ta.functional = func
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.functional"] = func
+
+
+def conv_w(m):
+    return jnp.asarray(m.weight.detach().numpy().transpose(2, 1, 0))
+
+
+def conv_b(m):
+    return jnp.asarray(m.bias.detach().numpy())
+
+
+def deconv_w(m):
+    return jnp.asarray(m.weight.detach().numpy()[:, :, ::-1].transpose(2, 0, 1).copy())
+
+
+def wn_conv_params(m):
+    """torch weight-normed Conv1d -> our {v, g, b}."""
+    return {
+        "v": conv_w_raw(m.weight_v),
+        "g": jnp.asarray(m.weight_g.detach().numpy().transpose(2, 1, 0)),
+        "b": conv_b(m),
+    }
+
+
+def conv_w_raw(w):
+    return jnp.asarray(w.detach().numpy().transpose(2, 1, 0))
+
+
+def wn_deconv_params(m):
+    return {
+        "v": jnp.asarray(m.weight_v.detach().numpy()[:, :, ::-1].transpose(2, 0, 1).copy()),
+        "g": jnp.asarray(m.weight_g.detach().numpy()[:, :, ::-1].transpose(2, 0, 1).copy()),
+        "b": conv_b(m),
+    }
+
+
+@requires_reference
+def test_hifigan_generator_matches_upstream(rng):
+    """Upstream causal HiFiGAN generator (weight-normed) vs ours, same weights."""
+    add_reference_to_path()
+    _stub_torchaudio()
+    from models.vocoder.HiFiGAN import Generator as TorchHiFiGAN
+
+    kw = dict(
+        in_channels=16, out_channels=1, channels=64, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3, 7), resblock_dilations=[(1, 3), (1, 3)],
+        groups=1, bias=True, use_additional_convs=True,
+    )
+    tg = TorchHiFiGAN(**kw, use_weight_norm=True, stats=None)
+    tg.eval()
+
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    ours = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=64, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3, 7), resblock_dilations=((1, 3), (1, 3)),
+    )
+
+    def resblock_params(tb):
+        p = {"convs1": [wn_conv_params(c.conv) for c in tb.convs1]}
+        p["convs2"] = [wn_conv_params(c.conv) for c in tb.convs2]
+        return p
+
+    params = {
+        "input_conv": wn_conv_params(tg.input_conv.conv),
+        "upsamples": [wn_deconv_params(u.deconv) for u in tg.upsamples],
+        "blocks": [
+            {"blocks": [resblock_params(b) for b in blk.blocks]}
+            for blk in tg.blocks
+        ],
+        "output_conv": wn_conv_params(tg.output_conv.conv),
+    }
+
+    c = rng.standard_normal((2, 16, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.tensor(c)).numpy()
+    got = np.asarray(ours(params, jnp.asarray(c.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), ref, atol=2e-5)
+
+
+@requires_reference
+def test_streaming_generator_matches_upstream_stream(rng):
+    """Upstream StreamGenerator chunked encode/quantize/lookup/decode vs our
+    streaming pipeline, identical weights and chunks."""
+    add_reference_to_path()
+    from models.autoencoder.AudioDec import StreamGenerator as TorchStream
+
+    kw = dict(input_channels=1, output_channels=1, encode_channels=8,
+              decode_channels=8, code_dim=16, codebook_num=2, codebook_size=32,
+              enc_ratios=(2, 4), dec_ratios=(4, 2), enc_strides=(3, 4),
+              dec_strides=(4, 3), mode="causal")
+    tg = TorchStream(**kw)
+    tg.eval()
+
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.nn.vq import VQState
+    from dl_speech_enhancement_tpu.stream import AudioCodec
+
+    gen = AudioDecGenerator(encode_channels=8, decode_channels=8, code_dim=16,
+                            codebook_num=2, codebook_size=32,
+                            enc_ratios=(2, 4), dec_ratios=(4, 2),
+                            enc_strides=(3, 4), dec_strides=(4, 3),
+                            use_pqc=True)
+
+    def res_unit_params(tu):
+        return {"conv1": {"w": conv_w(tu.conv1.conv)},
+                "conv2": {"w": conv_w_raw(tu.conv2.weight)}}
+
+    enc = {"conv": {"w": conv_w(tg.encoder.conv.conv)}, "blocks": []}
+    for blk in tg.encoder.conv_blocks:
+        enc["blocks"].append({
+            "res": [res_unit_params(u) for u in blk.res_units],
+            "conv": {"w": conv_w(blk.conv.conv), "b": conv_b(blk.conv.conv)},
+        })
+    dec = {"conv1": {"w": conv_w(tg.decoder.conv1.conv)}, "blocks": [],
+           "conv2": {"w": conv_w(tg.decoder.conv2.conv)}}
+    for blk in tg.decoder.conv_blocks:
+        dec["blocks"].append({
+            "conv": {"w": deconv_w(blk.conv.deconv), "b": conv_b(blk.conv.deconv)},
+            "res": [res_unit_params(u) for u in blk.res_units],
+        })
+    params = {
+        "encoder": enc,
+        "projector": {"conv": {"w": conv_w(tg.projector.project.conv)}},
+        "decoder": dec,
+    }
+    embeds = np.stack([l.embed.numpy() for l in tg.quantizer.codebook.layers])
+    vq_state = VQState(jnp.asarray(embeds),
+                       jnp.zeros((2, 32), jnp.float32), jnp.asarray(embeds))
+
+    hop = gen.hop  # 12
+    receptive = hop * 16
+    # upstream priming (zero receptive field)
+    with torch.no_grad():
+        zq0 = tg.initial_encoder(receptive, "cpu")
+        tg.initial_decoder(zq0)
+
+    codec = AudioCodec(gen, params, vq_state, receptive_length=receptive)
+    codec.load()
+
+    chunk = hop * 4
+    x = rng.standard_normal((1, chunk * 6, 1)).astype(np.float32) * 0.3
+    outs_ref, outs_ours = [], []
+    for i in range(6):
+        seg = x[:, i * chunk : (i + 1) * chunk]
+        with torch.no_grad():
+            z_t = tg.encode(torch.tensor(seg.transpose(0, 2, 1)))
+            idx_t = tg.quantize(z_t)
+            zq_t = tg.lookup(idx_t)
+            y_t = tg.decode(zq_t)
+        outs_ref.append(y_t.numpy())
+
+        idx = codec._encode(jnp.asarray(seg))
+        np.testing.assert_array_equal(
+            np.asarray(idx).reshape(-1), idx_t.numpy().reshape(-1)
+        )
+        y = codec._decode(idx)
+        outs_ours.append(np.asarray(y).transpose(0, 2, 1))
+
+    ref = np.concatenate(outs_ref, axis=-1)
+    got = np.concatenate(outs_ours, axis=-1)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
