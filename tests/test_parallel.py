@@ -94,6 +94,30 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_parallel_long_audio_matches_serial(rng):
+    """Overlap-discard chunked inference over the mesh == full forward."""
+    from dl_speech_enhancement_tpu.parallel.long_audio import parallel_denoise
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(4))
+    hop = gen.hop  # 12
+    t = hop * 64 + hop * 40 * 8  # context + 8 chunks of 40 frames
+    audio = rng.standard_normal((t, 1)).astype(np.float32) * 0.3
+
+    @jax.jit
+    def forward(x):
+        y, *_ = gen(params, None, x, train=False)
+        return y
+
+    serial = np.asarray(forward(jnp.asarray(audio[None])))[0]
+    mesh = make_mesh(8)
+    parallel = parallel_denoise(gen, params, None, audio, n_chunks=8,
+                                context=hop * 64, mesh=mesh)
+    assert parallel.shape == serial.shape
+    # beyond chunk 0's replicate-pad warmup the chunks must match exactly
+    np.testing.assert_allclose(parallel, serial, atol=2e-4)
+
+
 def test_dp_scales_batch():
     """A sharded 16-sample batch runs fine (2 per device)."""
     state, steps = _setup()
