@@ -3,4 +3,5 @@ from dl_speech_enhancement_tpu.stream.runtime import (
     StreamingReceiver,
     AudioCodec,
     AudioCodecStreamer,
+    make_scan_stream,
 )

@@ -108,6 +108,46 @@ class StreamingReceiver:
         return y
 
 
+def make_scan_stream(gen, params, vq_state=None, batch: int = 1):
+    """On-device multi-frame streaming: ``f(cache, frames (N, B, F, C)) ->
+    (audio (N, B, F', C), cache)`` as one jitted ``lax.scan`` dispatch.
+
+    Exact chunked-streaming semantics (same cache math as the frame-by-frame
+    runtime) but amortizes host<->device round trips over N frames — use for
+    offline evaluation with streaming semantics and for RTF measurement.
+    """
+    params = jax.device_put(params)
+    if vq_state is not None:
+        vq_state = jax.device_put(vq_state)
+        flat_cb = jax.device_put(gen.flat_codebook(vq_state))
+    else:
+        flat_cb = None
+
+    def step(cache, frame):
+        z, enc_cache = gen.encode_step(params, cache, frame)
+        if gen.use_pqc:
+            idx = gen.quantize(vq_state, z)
+            zq = gen.lookup(flat_cb, idx)
+        else:
+            zq = z
+        y, dec_cache = gen.decode_step(params, cache, zq)
+        new_cache = dict(cache)
+        new_cache.update(enc_cache)
+        new_cache.update(dec_cache)
+        return new_cache, y
+
+    @jax.jit
+    def run(cache, frames):
+        cache, ys = jax.lax.scan(step, cache, frames)
+        return ys, cache
+
+    def init_cache():
+        return gen.init_cache(batch)
+
+    run.init_cache = init_cache
+    return run
+
+
 class AudioCodec:
     """Facade pairing a transmitter and receiver around one generator
     (bin/stream.py AudioCodec / utils/audiodec.py AudioDec)."""

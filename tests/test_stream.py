@@ -135,6 +135,29 @@ def test_streamer_drops_frames_under_overload(pqc_model, rng):
     assert stats["latency_ms_mean"] > 100
 
 
+def test_scan_stream_matches_framewise(pqc_model, rng):
+    """The on-device lax.scan streaming path == the frame-by-frame runtime."""
+    from dl_speech_enhancement_tpu.stream import make_scan_stream
+
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    n = 6
+    audio = rng.standard_normal((1, frame * n, 1)).astype(np.float32) * 0.3
+
+    codec = AudioCodec(gen, params, vq_state, receptive_length=gen.hop * 8)
+    framewise = []
+    for i in range(n):
+        idx = codec._encode(jnp.asarray(audio[:, i * frame : (i + 1) * frame]))
+        framewise.append(np.asarray(codec._decode(idx)))
+    framewise = np.concatenate(framewise, axis=1)
+
+    run = make_scan_stream(gen, params, vq_state, batch=1)
+    frames = jnp.asarray(audio.reshape(1, n, frame, 1).transpose(1, 0, 2, 3))
+    ys, _ = run(run.init_cache(), frames)  # (N, B, frame, 1)
+    scanned = np.asarray(ys).transpose(1, 0, 2, 3).reshape(1, n * frame, 1)
+    np.testing.assert_allclose(scanned, framewise, atol=1e-5)
+
+
 def test_multi_stream_batching(pqc_model, rng):
     """B streams batched through one cache: each stream's output equals its
     single-stream run (stream independence)."""
