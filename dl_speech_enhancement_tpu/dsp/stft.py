@@ -115,6 +115,7 @@ def spectrogram(
     win_length: int,
     pad: int = 0,
     power: float = 1.0,
+    eps: float = 1e-9,
 ) -> jax.Array:
     """torchaudio-style spectrogram used by the UnivNet spectral discriminator.
 
@@ -122,11 +123,16 @@ def spectrogram(
     ``torchaudio.functional.spectrogram(pad=win_length//2, power=1)``: the
     signal is first zero-padded by ``pad`` on both sides, then a centered
     (reflect-padded) STFT is taken. Returns (..., n_frames, n_freq).
+
+    ``eps`` floors the power before the square root: the zero-padded frames
+    have exactly zero power, where sqrt's gradient is infinite — adversarial
+    training through this front-end would NaN (amplitude floor 3e-5 is far
+    below audio noise floors).
     """
     if pad > 0:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
     z = stft(x, window, n_fft=n_fft, hop=hop, win_length=win_length, center=True)
-    mag = jnp.sqrt(jnp.square(z.real) + jnp.square(z.imag))
+    mag = jnp.sqrt(jnp.clip(jnp.square(z.real) + jnp.square(z.imag), min=eps))
     if power == 1.0:
         return mag
     return jnp.power(mag, power)

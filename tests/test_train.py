@@ -183,6 +183,33 @@ def test_vocoder_trainer_runs(tmp_path, rng):
         np.testing.assert_array_equal(x, y)
 
 
+def test_autoencoder_trainer_univnet_discriminator(tmp_path, rng):
+    """symAudioDecUniv: UnivNet MRSD+MPD discriminator, adversarial phase —
+    losses must stay finite (regression: sqrt-at-zero NaN in the spectral
+    front-end)."""
+    from dl_speech_enhancement_tpu.utils.model_factory import (
+        build_generator, build_discriminator,
+    )
+
+    config = dict(BASE_CONFIG, outdir=str(tmp_path), use_feat_match_loss=True,
+                  start_steps={"generator": 0, "discriminator": 0})
+    gen = build_generator("symAudioDecUniv", SMALL)
+    disc = build_discriminator("symAudioDecUniv", dict(
+        fft_sizes=[512, 256], hop_sizes=[60, 30], win_lengths=[240, 120],
+        spectral_discriminator_params={"channels": 4},
+        periods=[2, 3],
+        period_discriminator_params={"kernel_sizes": [5, 3], "channels": 4,
+                                     "downsample_scales": [3, 3, 1],
+                                     "max_downsample_channels": 16},
+    ))
+    batch = rng.standard_normal((2, 480, 1)).astype(np.float32)
+    tr = AutoencoderTrainer(0, 0, {"train": [batch]}, gen, disc, config,
+                            key=jax.random.PRNGKey(0))
+    tr._train_step(batch)
+    assert np.isfinite(tr.total_train_loss["train/generator_loss"])
+    assert np.isfinite(tr.total_train_loss["train/discriminator_loss"])
+
+
 def test_statistic_workload(rng):
     analyzer = AudioDecGenerator(**SMALL, use_pqc=True)
     ap, vqs = analyzer.init(jax.random.PRNGKey(5))
