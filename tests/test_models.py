@@ -57,6 +57,18 @@ def test_generator_shapes_without_pqc(rng):
     np.testing.assert_array_equal(np.asarray(vqloss), 0)
 
 
+def test_generator_noncausal_mode(rng):
+    """mode='noncausal' (the reference's offline-training variant,
+    models/utils.py:13-15 asserts streaming needs causal)."""
+    gen = AudioDecGenerator(**SMALL, mode="noncausal", use_pqc=True)
+    params, vqs = gen.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 240, 1)).astype(np.float32))
+    y, zq, z, *_ = gen(params, vqs, x, train=True)
+    assert y.shape == (2, 240, 1) and z.shape == (2, 20, 16)
+    # noncausal layers have no streaming step
+    assert not hasattr(gen.encoder.conv, "step")
+
+
 def test_generator_causality(rng):
     """Output at time t must not depend on input at time > t."""
     gen = AudioDecGenerator(**SMALL, use_pqc=False)

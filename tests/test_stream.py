@@ -158,6 +158,46 @@ def test_scan_stream_matches_framewise(pqc_model, rng):
     np.testing.assert_allclose(scanned, framewise, atol=1e-5)
 
 
+def test_streamer_concurrent_sessions_thread_safety(pqc_model, rng):
+    """Two streamers running simultaneously in one process must not corrupt
+    each other's caches/queues (thread-safety stress; the reference relies
+    on queue.Queue with no isolation guarantees, SURVEY §5.2)."""
+    import threading
+
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    audio = rng.standard_normal((1, frame * 8, 1)).astype(np.float32) * 0.3
+
+    def make():
+        s = AudioCodecStreamer(gen, params, vq_state, frame_size=frame,
+                               sample_rate=4800, max_latency=10.0,
+                               receptive_length=gen.hop * 8)
+        s.load()
+        return s
+
+    results = {}
+
+    def run(name):
+        s = make()
+        results[name] = s.run_array(audio)
+
+    threads = [threading.Thread(target=run, args=(f"s{i}",)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert set(results) == {"s0", "s1"}
+    # identical inputs + identical models => identical produced frames
+    def produced(out):
+        frames = [out[:, i * frame : (i + 1) * frame]
+                  for i in range(out.shape[1] // frame)]
+        return np.concatenate([f for f in frames if np.abs(f).sum() > 0], axis=1)
+
+    a, b = produced(results["s0"]), produced(results["s1"])
+    n = min(a.shape[1], b.shape[1])
+    np.testing.assert_allclose(a[:, :n], b[:, :n], atol=1e-5)
+
+
 def test_multi_stream_batching(pqc_model, rng):
     """B streams batched through one cache: each stream's output equals its
     single-stream run (stream independence)."""
