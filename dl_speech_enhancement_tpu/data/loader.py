@@ -51,21 +51,39 @@ class DataLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone —
+            # otherwise every abandoned iterator (early epoch break) leaks a
+            # thread blocked on q.put forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            # runs on exhaustion AND on generator close/GC (abandoned zip)
+            stop.set()
 
 
 def prefetch_to_device(iterator, size: int = 2):
