@@ -31,8 +31,12 @@ def main(argv=None):
                         help="explicit checkpoint directory")
     parser.add_argument("--without-pqc", action="store_true",
                         help="denoiser variant: raw features cross tx->rx")
-    parser.add_argument("-i", "--input", default=None, help="input wav")
-    parser.add_argument("-o", "--output", default="output.wav")
+    parser.add_argument("-i", "--input", action="append", default=None,
+                        help="input wav (repeat for multi-stream batching: "
+                             "N files stream concurrently through one chip)")
+    parser.add_argument("-o", "--output", default="output.wav",
+                        help="output wav (multi-stream: one numbered file "
+                             "per input)")
     parser.add_argument("--frame-size", type=int, default=1200)
     parser.add_argument("--max-latency", type=float, default=0.1)
     parser.add_argument("--live", action="store_true")
@@ -60,22 +64,36 @@ def main(argv=None):
     )
     sample_rate = config.get("sampling_rate", config.get("sample_rate", 48000))
 
+    inputs = args.input or []
+    batch = max(len(inputs), 1)
     streamer = AudioCodecStreamer(
         gen, params, vq_state, frame_size=args.frame_size,
-        sample_rate=sample_rate, max_latency=args.max_latency,
+        sample_rate=sample_rate, max_latency=args.max_latency, batch=batch,
     )
     streamer.load()
-    logger.info("primed buffers (receptive %d samples)", streamer.receptive_length)
+    logger.info("primed buffers (receptive %d samples, %d stream%s)",
+                streamer.receptive_length, batch, "s" if batch > 1 else "")
 
     if args.live:
         streamer.run(latency=args.max_latency)
     else:
-        assert args.input, "file mode needs -i input.wav"
-        audio = load_audio(args.input, sample_rate)[None, :, :1]
-        t = (audio.shape[1] // args.frame_size) * args.frame_size
-        out = streamer.run_array(audio[:, :t], realtime=args.realtime)
-        write_wav(args.output, out[0, :, 0], sample_rate)
-        logger.info("wrote %s (%d samples)", args.output, out.shape[1])
+        assert inputs, "file mode needs -i input.wav"
+        clips = [load_audio(p, sample_rate)[:, :1] for p in inputs]
+        t = min(c.shape[0] for c in clips)
+        t = (t // args.frame_size) * args.frame_size
+        audio = np.stack([c[:t] for c in clips])  # (B, T, 1)
+        out = streamer.run_array(audio, realtime=args.realtime)
+        if batch == 1:
+            write_wav(args.output, out[0, :, 0], sample_rate)
+            logger.info("wrote %s (%d samples)", args.output, out.shape[1])
+        else:
+            import os
+            root, ext = os.path.splitext(args.output)
+            for b in range(batch):
+                path = f"{root}-{b}{ext}"
+                write_wav(path, out[b, :, 0], sample_rate)
+            logger.info("wrote %d streams to %s-*%s (%d samples each)",
+                        batch, root, ext, out.shape[1])
 
     stats = streamer.stats()
     logger.info("encoder: %.2f ± %.2f ms", stats["encoder_ms_mean"], stats["encoder_ms_std"])

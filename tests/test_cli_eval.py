@@ -74,6 +74,26 @@ def test_stream_cli_without_pqc(tmp_path, rng):
     assert stats["frames"] > 0
 
 
+def test_stream_cli_multi_stream(tiny_ckpt, tmp_path, rng):
+    """Multiple -i inputs batch through one streamer, one output each."""
+    from dl_speech_enhancement_tpu.cli import stream as stream_cli
+
+    ins = []
+    for i in range(3):
+        p = str(tmp_path / f"in{i}.wav")
+        write_wav(p, (0.3 * rng.standard_normal(SR)).astype(np.float32), SR)
+        ins.append(p)
+    stats = stream_cli.main([
+        "--checkpoint", tiny_ckpt,
+        "-i", ins[0], "-i", ins[1], "-i", ins[2],
+        "-o", str(tmp_path / "out.wav"),
+        "--frame-size", "24", "--max-latency", "10",
+    ])
+    assert stats["frames"] > 0
+    for i in range(3):
+        assert os.path.exists(str(tmp_path / f"out-{i}.wav"))
+
+
 @requires_reference
 def test_dnsmos_cli_scores_directory(tmp_path):
     from dl_speech_enhancement_tpu.cli import dnsmos as dnsmos_cli

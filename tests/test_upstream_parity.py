@@ -109,6 +109,55 @@ def test_hifigan_generator_matches_upstream(rng):
 
 
 @requires_reference
+def test_hifigan_streaming_matches_upstream(rng):
+    """Upstream HiFiGAN StreamGenerator.decode chunks vs our step()."""
+    add_reference_to_path()
+    _stub_torchaudio()
+    from models.vocoder.HiFiGAN import StreamGenerator as TorchStream
+
+    kw = dict(
+        in_channels=16, out_channels=1, channels=64, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3,), resblock_dilations=[(1, 3)],
+        groups=1, bias=True, use_additional_convs=True,
+    )
+    tg = TorchStream(**kw, use_weight_norm=True, stats=None)
+    tg.eval()
+
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    ours = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=64, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+
+    def resblock_params(tb):
+        return {"convs1": [wn_conv_params(c.conv) for c in tb.convs1],
+                "convs2": [wn_conv_params(c.conv) for c in tb.convs2]}
+
+    params = {
+        "input_conv": wn_conv_params(tg.input_conv.conv),
+        "upsamples": [wn_deconv_params(u.deconv) for u in tg.upsamples],
+        "blocks": [{"blocks": [resblock_params(b) for b in blk.blocks]}
+                   for blk in tg.blocks],
+        "output_conv": wn_conv_params(tg.output_conv.conv),
+    }
+
+    tg.reset_buffer()
+    cache = ours.init_cache(1)
+    for i in range(4):
+        c = rng.standard_normal((1, 5, 16)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            # upstream decode() takes (B, T, C) and transposes internally
+            ref = tg.decode(torch.tensor(c)).numpy()
+        got, cache = ours.step(params, cache, jnp.asarray(c))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1), ref, atol=2e-5,
+            err_msg=f"chunk {i}",
+        )
+
+
+@requires_reference
 def test_streaming_generator_matches_upstream_stream(rng):
     """Upstream StreamGenerator chunked encode/quantize/lookup/decode vs our
     streaming pipeline, identical weights and chunks."""
