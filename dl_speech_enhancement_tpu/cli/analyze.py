@@ -65,16 +65,48 @@ def save_plots(out_dir: str, sr: int, signals: dict):
     return path
 
 
+def eval_wavs(clean_path: str, wav_paths: list, sr: int | None = None,
+              plots_dir: str | None = None) -> dict:
+    """Metric battery over already-saved wavs against a clean reference
+    (the reference's mel_spectrogram.py workflow)."""
+    from dl_speech_enhancement_tpu.data import load_audio, read_wav
+
+    clean, file_sr = read_wav(clean_path)
+    sr = sr or file_sr
+    clean = load_audio(clean_path, sr)[:, 0]
+    results = {}
+    signals = {"clean": clean}
+    for path in wav_paths:
+        x = load_audio(path, sr)[:, 0]
+        t = min(len(x), len(clean))
+        results[path] = metric_battery(x[:t], clean[:t], sr)
+        signals[os.path.basename(path)] = x[:t]
+    if plots_dir:
+        save_plots(plots_dir, sr, signals)
+    return results
+
+
 def main(argv=None):
     parser = ArgumentParser()
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--without-pqc", action="store_true")
     parser.add_argument("--clean", required=True)
-    parser.add_argument("--noise", required=True)
+    parser.add_argument("--noise", default=None)
+    parser.add_argument("--eval-wavs", nargs="*", default=None,
+                        help="score saved wavs against --clean instead of "
+                             "running a model (mel_spectrogram.py mode)")
     parser.add_argument("--snr", type=float, default=15.0)
     parser.add_argument("--out-dir", default="analysis_out")
     parser.add_argument("--plots", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.eval_wavs is not None:
+        results = eval_wavs(args.clean, args.eval_wavs,
+                            plots_dir=args.out_dir if args.plots else None)
+        print(json.dumps(results, indent=2))
+        return results
+    assert args.checkpoint and args.noise, \
+        "model mode needs --checkpoint and --noise"
 
     import jax
     import jax.numpy as jnp

@@ -177,6 +177,47 @@ def test_cli_train_resume(corpus, monkeypatch):
     )
 
 
+def test_cli_train_adversarial_phase2(corpus, monkeypatch):
+    """Phase-2 rebuilds the loader at adv_batch_length and trains to
+    adv_train_max_steps (bin/train.py:106-118 contract)."""
+    from dl_speech_enhancement_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(corpus)
+    cfg = _base_config(corpus, "autoencoder")
+    cfg["train_max_steps"] = 2
+    cfg["adv_train_max_steps"] = 4
+    cfg["adv_batch_length"] = 1200
+    cfg["start_steps"] = {"generator": 0, "discriminator": 2}
+    cfg_path = str(corpus / "ae_adv.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_cli.main(["-c", cfg_path, "--tag", "tiny_adv"])
+    assert os.path.isdir(
+        str(corpus / "exp" / "autoencoder" / "tiny_adv" / "checkpoint-4steps")
+    )
+
+
+def test_cli_analyze_eval_wavs(corpus, monkeypatch, tmp_path):
+    """--eval-wavs mode: metric battery over saved wavs (the reference's
+    mel_spectrogram.py workflow)."""
+    import numpy as _np
+    from dl_speech_enhancement_tpu.cli import analyze as analyze_cli
+    from dl_speech_enhancement_tpu.data import write_wav as _ww
+
+    rng = _np.random.default_rng(0)
+    t = _np.arange(SR) / SR
+    clean = (0.4 * _np.sin(2 * _np.pi * 220 * t)).astype(_np.float32)
+    noisy = clean + 0.05 * rng.standard_normal(SR).astype(_np.float32)
+    cp = str(tmp_path / "clean.wav")
+    np_ = str(tmp_path / "noisy.wav")
+    _ww(cp, clean, SR)
+    _ww(np_, noisy, SR)
+    results = analyze_cli.main(["--clean", cp, "--eval-wavs", np_])
+    battery = results[np_]
+    for key in ("STOI", "SI-SDR", "SDR", "SNR", "Mel-L1"):
+        assert key in battery
+
+
 def test_cli_train_denoise_course_laptop(corpus, monkeypatch, tmp_path):
     from dl_speech_enhancement_tpu.cli import train_denoise as course_cli
 
