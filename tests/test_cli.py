@@ -145,6 +145,37 @@ def test_cli_train_autoencoder_then_statistic_then_test(corpus, monkeypatch):
     assert len(wavs) == 2
 
 
+def test_cli_train_vocoder(corpus, monkeypatch):
+    """Vocoder workload via the CLI: frozen analyzer from the AE checkpoint,
+    stats-normalized HiFiGAN generator (depends on the AE+statistic test)."""
+    from dl_speech_enhancement_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(corpus)
+    cfg = _base_config(corpus, "vocoder")
+    cfg["model_type"] = "HiFiGAN"
+    cfg["analyzer"] = str(corpus / "exp" / "autoencoder" / "tiny" / "checkpoint-6steps")
+    cfg["generator_params"] = {
+        "in_channels": 16, "out_channels": 1, "channels": 32,
+        "kernel_size": 7, "upsample_scales": [4, 3],
+        "upsample_kernel_sizes": [8, 6], "resblock_kernel_sizes": [3],
+        "resblock_dilations": [[1, 3]], "groups": 1, "bias": True,
+        "use_additional_convs": True, "use_weight_norm": True,
+        "nonlinear_activation": "LeakyReLU",
+        "nonlinear_activation_params": {"negative_slope": 0.1},
+        "stats": str(corpus / "stats" / "tiny.npy"),
+    }
+    cfg["generator_train_start_steps"] = 0
+    cfg["discriminator_train_start_steps"] = 1
+    cfg["train_max_steps"] = 3
+    cfg_path = str(corpus / "voc.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train_cli.main(["-c", cfg_path, "--tag", "tiny_voc"])
+    assert os.path.isdir(
+        str(corpus / "exp" / "vocoder" / "tiny_voc" / "checkpoint-3steps")
+    )
+
+
 def test_cli_train_denoise_framework(corpus, monkeypatch):
     from dl_speech_enhancement_tpu.cli import train as train_cli
 
