@@ -74,6 +74,32 @@ def test_stream_cli_without_pqc(tmp_path, rng):
     assert stats["frames"] > 0
 
 
+def test_audiodec_facade_and_model_zoo(tiny_ckpt, tmp_path, rng):
+    """utils.audiodec: facade load/prime/stream + preset table sanity."""
+    import jax.numpy as jnp
+    from dl_speech_enhancement_tpu.utils.audiodec import AudioDec, assign_model
+
+    ad = AudioDec(tiny_ckpt, use_pqc=True)
+    assert ad.sample_rate == SR
+    chunk = jnp.asarray(rng.standard_normal((1, 24, 1)).astype(np.float32))
+    idx = ad.codec._encode(chunk)
+    y = ad.codec._decode(idx)
+    assert y.shape == (1, 24, 1)
+    streamer = ad.streamer(frame_size=24, max_latency=10.0)
+    out = streamer.run_array(np.asarray(
+        rng.standard_normal((1, 24 * 4, 1)).astype(np.float32)))
+    assert out.shape[1] >= 24 * 3
+
+    # preset table: all 9 names resolve, unknown raises
+    for name in ("libritts_v1", "libritts_sym", "vctk_v0", "vctk_v1",
+                 "vctk_v2", "vctk_sym", "vctk_v3", "vctk_univ_sym",
+                 "vctk_denoise"):
+        sr, tx, rx = assign_model(name)
+        assert sr in (24000, 48000) and "checkpoint" in tx
+    with pytest.raises(NotImplementedError):
+        assign_model("nope")
+
+
 def test_stream_cli_multi_stream(tiny_ckpt, tmp_path, rng):
     """Multiple -i inputs batch through one streamer, one output each."""
     from dl_speech_enhancement_tpu.cli import stream as stream_cli
