@@ -46,6 +46,49 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(y[:, 0], x, atol=1.0 / 32767)
 
 
+def _write_raw_wav(path, fmt_tag, bits, sr, ch, payload: bytes):
+    import struct
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, sr, sr * ch * bits // 8,
+                      ch * bits // 8, bits)
+    data = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def test_wav_formats_24bit_float_stereo(tmp_path, rng):
+    """24-bit PCM, IEEE float32, and stereo decode identically via the
+    native C++ reader and the Python RIFF fallback."""
+    import dl_speech_enhancement_tpu.data.native as native
+
+    x = np.clip(rng.standard_normal((64, 2)) * 0.3, -0.99, 0.99).astype(np.float32)
+    # float32 stereo
+    pf = str(tmp_path / "f32.wav")
+    _write_raw_wav(pf, 3, 32, 16000, 2, x.astype("<f4").tobytes())
+    # 24-bit PCM stereo
+    ints = np.clip(np.round(x * 8388608.0), -8388608, 8388607).astype(np.int32)
+    b24 = b"".join(int(v).to_bytes(3, "little", signed=True)
+                   for v in ints.reshape(-1))
+    p24 = str(tmp_path / "p24.wav")
+    _write_raw_wav(p24, 1, 24, 16000, 2, b24)
+
+    for path, atol in ((pf, 0.0), (p24, 1.5 / 8388608)):
+        got_py = None
+        # python path
+        saved = (native._LIB, native._TRIED)
+        native._LIB, native._TRIED = None, True
+        try:
+            got_py, sr = read_wav(path)
+        finally:
+            native._LIB, native._TRIED = saved
+        assert sr == 16000 and got_py.shape == (64, 2)
+        np.testing.assert_allclose(got_py, x, atol=atol or 1e-7)
+        if native.available():
+            got_nat, sr2 = native.read_wav(path)
+            np.testing.assert_allclose(got_nat, got_py, atol=1e-7)
+
+
 def test_resample_preserves_tone(tmp_path):
     sr, target = 48000, 24000
     t = np.arange(sr) / sr
