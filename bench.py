@@ -33,7 +33,7 @@ def main():
 
     sample_rate = 48000
     frame_size = 1200  # 25 ms @ 48 kHz, 4 code frames at hop 300
-    n_frames = 400     # 10 s of audio per dispatch
+    n_frames = 1600    # 40 s of audio per long dispatch
 
     gen = AudioDecGenerator(use_pqc=False)
     params, _ = gen.init(jax.random.PRNGKey(0))
@@ -55,17 +55,26 @@ def main():
     rng = np.random.default_rng(0)
 
     def measure(batch, trials=3):
-        cache = gen.init_cache(batch)
-        frames = jax.device_put(
-            rng.standard_normal((n_frames, batch, frame_size, 1)).astype(np.float32)
-        )
-        _ = float(run_stream(cache, frames))  # compile + settle
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            _ = float(run_stream(cache, frames))  # scalar fetch = hard fence
-            best = min(best, time.perf_counter() - t0)
-        return best / n_frames
+        """Per-frame device time via a two-point fit: the scalar-fetch fence
+        costs one host<->device round trip (~30 ms through this
+        environment's tunnel), so time scans of two lengths and take the
+        slope — the RTT intercept cancels."""
+        n1, n2 = n_frames // 4, n_frames
+
+        def timed(n):
+            cache = gen.init_cache(batch)
+            frames = jax.device_put(
+                rng.standard_normal((n, batch, frame_size, 1)).astype(np.float32)
+            )
+            _ = float(run_stream(cache, frames))  # compile + settle
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                _ = float(run_stream(cache, frames))  # scalar fetch = fence
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(n2) - timed(n1)) / (n2 - n1)
 
     frame_time = frame_size / sample_rate
     t_single = measure(1)
@@ -90,17 +99,27 @@ def main():
         lats.append(time.perf_counter() - t0)
     dispatch_latency_ms = float(np.median(lats) * 1e3)
 
-    # offline (parallel, non-streaming) denoise throughput: 16 x 2 s batch
-    fwd = jax.jit(
-        lambda p, x: jnp.sum(jnp.square(gen(p, None, x, train=False)[0]))
-    )
-    xb = jax.device_put(rng.standard_normal((16, 96000, 1)).astype(np.float32))
-    _ = float(fwd(params, xb))
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        _ = float(fwd(params, xb))
-    t_off = (time.perf_counter() - t0) / reps
+    # offline (parallel, non-streaming) denoise throughput: 16 x 2 s batch,
+    # K forwards scanned per dispatch (same RTT-cancelling two-point fit)
+    def offline_scan(k):
+        @jax.jit
+        def run(xb):
+            def body(c, _):
+                y = gen(params, None, xb + c * 1e-20, train=False)[0]
+                return jnp.sum(jnp.square(y)) * 1e-20, None
+            s, _ = jax.lax.scan(body, 0.0, None, length=k)
+            return s
+        xb = jax.device_put(
+            rng.standard_normal((16, 96000, 1)).astype(np.float32))
+        _ = float(run(xb))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(run(xb))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_off = (offline_scan(8) - offline_scan(2)) / 6
     offline_x_rt = (16 * 2.0) / t_off
 
     result = {

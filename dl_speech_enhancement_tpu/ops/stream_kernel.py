@@ -94,6 +94,97 @@ def fused_residual_chain(res_params: list, x: jax.Array, *,
     return out[:t_out, :c]
 
 
+def fused_residual_chain_folded(res_params: list, x: jax.Array, fold: int, *,
+                                dilations=(1, 3, 9), kernel_size: int = 7,
+                                interpret: bool = False) -> jax.Array:
+    """Time-folded variant of :func:`fused_residual_chain` for narrow layers.
+
+    Packs ``fold`` consecutive timesteps into one 128-lane row
+    (row r = [x[fold*r], ..., x[fold*r+fold-1]], each ``C`` lanes wide), so a
+    32-channel chain uses 96/128 lanes at fold=3 instead of 32/128. The
+    dilated conv becomes a sum over **row** offsets of dense
+    (fold*C, fold*C) block matrices assembled host-side from the taps:
+
+        y[fold*r'+p] = sum_j x[fold*r'+p+j*d] @ W_j
+                     = sum_o A[r'+o] @ M_o,   M_o[b-block, p-block] = W_j
+          where (o, b) = divmod(p + j*d, fold)
+
+    Constraints: ``fold`` must divide every unit's pad (6*d — fold in
+    {1, 2, 3, 6}) and the input length. Returns (T, C) like the unfolded
+    kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = kernel_size
+    c = x.shape[1]
+    assert fold * c <= 128
+    pads = [(k - 1) * d for d in dilations]
+    assert all(p % fold == 0 for p in pads), (fold, pads)
+    t_in = x.shape[0]
+    assert t_in % fold == 0
+    t_out = t_in - sum(pads)
+    cp = 128
+
+    def assemble(unit, d):
+        w1 = np.asarray(unit["conv1"]["w"])  # (k, c, c)
+        pad_rows = (k - 1) * d // fold
+        m1 = np.zeros((pad_rows + 1, cp, cp), np.float32)
+        for j in range(k):
+            s = j * d
+            for p in range(fold):
+                o, b = divmod(p + s, fold)
+                m1[o, b * c : (b + 1) * c, p * c : (p + 1) * c] = w1[j]
+        w2 = np.asarray(unit["conv2"]["w"])[0]  # (c, c)
+        m2 = np.zeros((cp, cp), np.float32)
+        for b in range(fold):
+            m2[b * c : (b + 1) * c, b * c : (b + 1) * c] = w2
+        return jnp.asarray(m1), jnp.asarray(m2)
+
+    ms = [assemble(u, d) for u, d in zip(res_params, dilations)]
+    rows_in = t_in // fold
+    # fold: (T, C) -> (rows, fold*C) -> pad lanes to 128
+    xf = x.reshape(rows_in, fold * c)
+    xf = jnp.pad(xf, ((0, _round_up(rows_in, 8) - rows_in),
+                      (0, cp - fold * c)))
+    rows_out = t_out // fold
+    rows_out_pad = _round_up(rows_out, 8)
+
+    # stack per-unit M_o tensors (ragged offsets -> pad to max)
+    max_off = max(m1.shape[0] for m1, _ in ms)
+    w1 = jnp.stack([jnp.pad(m1, ((0, max_off - m1.shape[0]), (0, 0), (0, 0)))
+                    for m1, _ in ms])
+    w2 = jnp.stack([m2 for _, m2 in ms])
+    offs = [m1.shape[0] - 1 for m1, _ in ms]  # pad_rows per unit (static)
+
+    def kernel(x_ref, w1_ref, w2_ref, out_ref, buf):
+        buf[:, :] = x_ref[...]
+        r_cur = rows_in
+        for i, d in enumerate(dilations):
+            pad_rows = offs[i]
+            r_next = r_cur - pad_rows
+            a = _elu(buf[:r_cur, :])
+            acc = jnp.dot(a[0:r_next, :], w1_ref[i, 0],
+                          preferred_element_type=jnp.float32)
+            for o in range(1, pad_rows + 1):
+                acc += jnp.dot(a[o : o + r_next, :], w1_ref[i, o],
+                               preferred_element_type=jnp.float32)
+            y = jnp.dot(_elu(acc), w2_ref[i],
+                        preferred_element_type=jnp.float32)
+            buf[:r_next, :] = buf[pad_rows : pad_rows + r_next, :] + y
+            r_cur = r_next
+        out_ref[:, :] = buf[:rows_out_pad, :]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_out_pad, cp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((xf.shape[0], cp), jnp.float32)],
+        interpret=interpret,
+    )(xf, w1, w2)
+    return out[:rows_out, : fold * c].reshape(t_out, c)
+
+
 def make_fused_chunk_step(gen, params, interpret: bool = False):
     """Streaming chunk step (without-PQC denoiser) with every residual chain
     fused in Pallas; boundary convs (input/strided/transposed/output) run in
