@@ -52,32 +52,48 @@ def main():
         cache, energies = lax.scan(chunk_step, cache, frames)
         return jnp.sum(energies)
 
+    # single-stream fast path: hand-fused Pallas residual chains
+    from dl_speech_enhancement_tpu.ops.stream_kernel import make_fused_chunk_step
+    fused_init_cache, fused_step = make_fused_chunk_step(gen, params)
+
+    def fused_chunk(cache, x):
+        y, new_cache = fused_step(cache, x[0])
+        return new_cache, jnp.sum(jnp.square(y))
+
+    @jax.jit
+    def run_stream_fused(cache, frames):
+        cache, energies = lax.scan(fused_chunk, cache, frames)
+        return jnp.sum(energies)
+
     rng = np.random.default_rng(0)
 
-    def measure(batch, trials=3):
+    def measure(batch, trials=3, fused=False):
         """Per-frame device time via a two-point fit: the scalar-fetch fence
         costs one host<->device round trip (~30 ms through this
         environment's tunnel), so time scans of two lengths and take the
         slope — the RTT intercept cancels."""
         n1, n2 = n_frames // 4, n_frames
 
+        run = run_stream_fused if fused else run_stream
+
         def timed(n):
-            cache = gen.init_cache(batch)
+            cache = fused_init_cache() if fused else gen.init_cache(batch)
             frames = jax.device_put(
                 rng.standard_normal((n, batch, frame_size, 1)).astype(np.float32)
             )
-            _ = float(run_stream(cache, frames))  # compile + settle
+            _ = float(run(cache, frames))  # compile + settle
             best = float("inf")
             for _ in range(trials):
                 t0 = time.perf_counter()
-                _ = float(run_stream(cache, frames))  # scalar fetch = fence
+                _ = float(run(cache, frames))  # scalar fetch = fence
                 best = min(best, time.perf_counter() - t0)
             return best
 
         return (timed(n2) - timed(n1)) / (n2 - n1)
 
     frame_time = frame_size / sample_rate
-    t_single = measure(1)
+    t_single_xla = measure(1)
+    t_single = min(t_single_xla, measure(1, fused=True))
     x_rt_single = frame_time / t_single
 
     streams = 16
@@ -129,6 +145,7 @@ def main():
         "vs_baseline": round(x_rt_single / 1.0, 2),
         "detail": {
             "frame_ms_device": round(t_single * 1e3, 3),
+            "frame_ms_device_xla": round(t_single_xla * 1e3, 3),
             "frame_size": frame_size,
             "streams_16_frame_ms": round(t_batch * 1e3, 3),
             "realtime_streams_per_chip_at_16": round(realtime_streams, 1),

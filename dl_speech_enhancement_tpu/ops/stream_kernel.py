@@ -185,6 +185,15 @@ def fused_residual_chain_folded(res_params: list, x: jax.Array, fold: int, *,
     return out[:rows_out, : fold * c].reshape(t_out, c)
 
 
+def _chain(res_params, x, interpret):
+    """Chain dispatch. Measured on v5e-lite: the time-folded variant is ~10%
+    SLOWER end-to-end (49 vs 44 us/frame) — the chains are VPU/VMEM-bound,
+    not MXU-bound, and folding multiplies the d=9 unit's matmul count — so
+    the unfolded kernel is the default; the folded one stays available for
+    experimentation."""
+    return fused_residual_chain(res_params, x, interpret=interpret)
+
+
 def make_fused_chunk_step(gen, params, interpret: bool = False):
     """Streaming chunk step (without-PQC denoiser) with every residual chain
     fused in Pallas; boundary convs (input/strided/transposed/output) run in
@@ -236,8 +245,7 @@ def make_fused_chunk_step(gen, params, interpret: bool = False):
         for bi, blk in enumerate(enc_blocks):
             xin = jnp.concatenate([cache["chains"][ci], h], axis=0)
             new_chains.append(xin[xin.shape[0] - chain_pad :])
-            h = fused_residual_chain(enc_p["blocks"][bi]["res"], xin,
-                                     interpret=interpret)
+            h = _chain(enc_p["blocks"][bi]["res"], xin, interpret)
             ci += 1
             h, new_convs[f"enc_down{bi}"] = _conv_step(
                 blk.conv, enc_p["blocks"][bi]["conv"],
@@ -248,8 +256,7 @@ def make_fused_chunk_step(gen, params, interpret: bool = False):
                 cache["convs"][f"dec_up{bi}"], h)
             xin = jnp.concatenate([cache["chains"][ci], h], axis=0)
             new_chains.append(xin[xin.shape[0] - chain_pad :])
-            h = fused_residual_chain(dec_p["blocks"][bi]["res"], xin,
-                                     interpret=interpret)
+            h = _chain(dec_p["blocks"][bi]["res"], xin, interpret)
             ci += 1
         y, new_convs["dec_out"] = _conv_step(
             gen.decoder.conv2, dec_p["conv2"], cache["convs"]["dec_out"], h)

@@ -108,14 +108,40 @@ class StreamingReceiver:
         return y
 
 
-def make_scan_stream(gen, params, vq_state=None, batch: int = 1):
+def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
+                     backend: str = "auto"):
     """On-device multi-frame streaming: ``f(cache, frames (N, B, F, C)) ->
     (audio (N, B, F', C), cache)`` as one jitted ``lax.scan`` dispatch.
 
     Exact chunked-streaming semantics (same cache math as the frame-by-frame
     runtime) but amortizes host<->device round trips over N frames — use for
     offline evaluation with streaming semantics and for RTF measurement.
+
+    ``backend='pallas'`` (or 'auto' on TPU) uses the hand-fused residual-
+    chain kernels (ops/stream_kernel.py) for the without-PQC single-stream
+    case — ~1.7x faster per frame on v5e (44 vs 77 us); other cases fall
+    back to the XLA step.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas" and not gen.use_pqc and batch == 1:
+        from dl_speech_enhancement_tpu.ops.stream_kernel import (
+            make_fused_chunk_step,
+        )
+        init_fused, fstep = make_fused_chunk_step(gen, jax.device_put(params))
+
+        def step_fused(cache, frame):
+            y, new_cache = fstep(cache, frame[0])
+            return new_cache, y[None]
+
+        @jax.jit
+        def run_fused(cache, frames):
+            cache, ys = jax.lax.scan(step_fused, cache, frames)
+            return ys, cache
+
+        run_fused.init_cache = init_fused
+        return run_fused
+
     params = jax.device_put(params)
     if vq_state is not None:
         vq_state = jax.device_put(vq_state)
