@@ -37,12 +37,15 @@ def _elu(x):
 
 def fused_residual_chain(res_params: list, x: jax.Array, *,
                          dilations=(1, 3, 9), kernel_size: int = 7,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         weight_dtype=jnp.float32) -> jax.Array:
     """N chained causal residual units (ELU -> dilated conv -> ELU -> 1x1 ->
     add) on a cache-prepended chunk, fully fused in VMEM.
 
     x: (T_in, C) with T_in = sum_i (k-1)*d_i + T. res_params: list of
     {"conv1": {w}, "conv2": {w}} (models/autoencoder.py::ResidualUnit).
+    ``weight_dtype=jnp.bfloat16`` halves the dominant HBM traffic (chain
+    weights) for inference; activations and accumulation stay f32.
     Returns (T, C)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -56,7 +59,8 @@ def fused_residual_chain(res_params: list, x: jax.Array, *,
     assert t_out > 0
 
     def pad_w(w):
-        return jnp.pad(w, ((0, 0), (0, cp - w.shape[1]), (0, cp - w.shape[2])))
+        w = jnp.pad(w, ((0, 0), (0, cp - w.shape[1]), (0, cp - w.shape[2])))
+        return w.astype(weight_dtype)
 
     w1 = jnp.stack([pad_w(p["conv1"]["w"]) for p in res_params])  # (n,k,cp,cp)
     w2 = jnp.stack([pad_w(p["conv2"]["w"]) for p in res_params])  # (n,1,cp,cp)
@@ -71,13 +75,13 @@ def fused_residual_chain(res_params: list, x: jax.Array, *,
         for i, d in enumerate(dilations):
             pad = (k - 1) * d
             t_next = t_cur - pad
-            a = _elu(buf[:t_cur, :])
+            a = _elu(buf[:t_cur, :]).astype(weight_dtype)
             acc = jnp.dot(a[0:t_next, :], w1_ref[i, 0],
                           preferred_element_type=jnp.float32)
             for j in range(1, k):
                 acc += jnp.dot(a[j * d : j * d + t_next, :], w1_ref[i, j],
                                preferred_element_type=jnp.float32)
-            y = jnp.dot(_elu(acc), w2_ref[i, 0],
+            y = jnp.dot(_elu(acc).astype(weight_dtype), w2_ref[i, 0],
                         preferred_element_type=jnp.float32)
             buf[:t_next, :] = buf[pad : pad + t_next, :] + y
             t_cur = t_next
