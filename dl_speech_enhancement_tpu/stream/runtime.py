@@ -108,6 +108,42 @@ class StreamingReceiver:
         return y
 
 
+class VocoderReceiver:
+    """Rx side backed by a HiFiGAN/UnivNet vocoder generator: code indices ->
+    codebook lookup -> vocoder streaming decode (the reference's v0-v3
+    presets pair a symAD analyzer tx with a vocoder rx,
+    utils/audiodec.py:96-103 + models/vocoder/HiFiGAN.py:268-296)."""
+
+    def __init__(self, codec_gen, vocoder, vocoder_params, vq_state,
+                 batch: int = 1):
+        self.codec_gen = codec_gen
+        self.vocoder = vocoder
+        self.params = jax.device_put(vocoder_params)
+        self.batch = batch
+        self.use_pqc = codec_gen.use_pqc
+        self.flat_cb = (jax.device_put(
+            codec_gen.flat_codebook(jax.device_put(vq_state)))
+            if self.use_pqc else None)
+
+        def _step(params, flat_cb, cache, idx):
+            zq = codec_gen.lookup(flat_cb, idx) if self.use_pqc else idx
+            return vocoder.step(params, cache, zq)
+
+        self._step = jax.jit(_step)
+        self.reset_buffer()
+
+    def reset_buffer(self):
+        self.cache = self.vocoder.init_cache(self.batch)
+
+    def initial_decoder(self, idx):
+        return self.decode(idx)
+
+    def decode(self, idx) -> jax.Array:
+        y, new_cache = self._step(self.params, self.flat_cb, self.cache, idx)
+        self.cache = new_cache
+        return y
+
+
 def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                      backend: str = "auto"):
     """On-device multi-frame streaming: ``f(cache, frames (N, B, F, C)) ->

@@ -89,6 +89,40 @@ def load_generator_from_checkpoint(checkpoint: str, use_pqc: bool = True):
     return gen, params, vq_state, config
 
 
+def load_pair(model: str, exp_root: str = "exp", batch: int = 1):
+    """Build the tx/rx pair for a named preset: symmetric presets pair the
+    codec with itself; v0-v3 presets pair the symAD analyzer (tx) with a
+    HiFiGAN/UnivNet vocoder (rx) — utils/audiodec.py:32-57 semantics.
+
+    Returns (transmitter, receiver, sample_rate)."""
+    import jax as _jax
+    from dl_speech_enhancement_tpu.stream.runtime import (
+        StreamingTransmitter, StreamingReceiver, VocoderReceiver,
+    )
+    from dl_speech_enhancement_tpu.utils.config import load_config_beside
+    from dl_speech_enhancement_tpu.utils.model_factory import build_generator
+    from dl_speech_enhancement_tpu.train.checkpoint import load_checkpoint
+
+    sample_rate, tx_ckpt, rx_ckpt = assign_model(model, exp_root)
+    gen, params, vq_state, _ = load_generator_from_checkpoint(tx_ckpt)
+    tx = StreamingTransmitter(gen, params, vq_state, batch=batch)
+    if rx_ckpt == tx_ckpt:
+        rx = StreamingReceiver(gen, params, vq_state, batch=batch)
+        return tx, rx, sample_rate
+    rx_config = load_config_beside(rx_ckpt)
+    if rx_config.get("train_mode") == "vocoder":
+        voc = build_generator(rx_config["model_type"],
+                              rx_config["generator_params"])
+        v_like = voc.init(_jax.random.PRNGKey(0))
+        v_params = load_checkpoint(
+            rx_ckpt, like={"params_generator": v_like})["params_generator"]
+        rx = VocoderReceiver(gen, voc, v_params, vq_state, batch=batch)
+        return tx, rx, sample_rate
+    rx_gen, rx_params, rx_vq, _ = load_generator_from_checkpoint(rx_ckpt)
+    rx = StreamingReceiver(rx_gen, rx_params, rx_vq, batch=batch)
+    return tx, rx, sample_rate
+
+
 class AudioDec:
     """High-level codec facade (utils/audiodec.py:17-103)."""
 

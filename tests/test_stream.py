@@ -135,6 +135,36 @@ def test_streamer_drops_frames_under_overload(pqc_model, rng):
     assert stats["latency_ms_mean"] > 100
 
 
+def test_vocoder_receiver_streaming(pqc_model, rng):
+    """Analyzer tx + HiFiGAN vocoder rx: codes cross the boundary, the
+    vocoder streams the audio (the reference's v0-v3 preset pairing)."""
+    import jax
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    from dl_speech_enhancement_tpu.stream.runtime import (
+        StreamingTransmitter, VocoderReceiver,
+    )
+
+    gen, params, vq_state = pqc_model
+    voc = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=32, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+    v_params = voc.init(jax.random.PRNGKey(9))
+    tx = StreamingTransmitter(gen, params, vq_state, batch=1)
+    rx = VocoderReceiver(gen, voc, v_params, vq_state, batch=1)
+    frame = gen.hop * 2
+    outs = []
+    for i in range(4):
+        chunk = jnp.asarray(
+            rng.standard_normal((1, frame, 1)).astype(np.float32) * 0.3)
+        idx = tx.encode(chunk)
+        y = rx.decode(idx)
+        assert y.shape == (1, frame, 1)  # vocoder upsample 4*3 == hop
+        outs.append(np.asarray(y))
+    assert np.all(np.isfinite(np.concatenate(outs, axis=1)))
+
+
 def test_scan_stream_matches_framewise(pqc_model, rng):
     """The on-device lax.scan streaming path == the frame-by-frame runtime."""
     from dl_speech_enhancement_tpu.stream import make_scan_stream
