@@ -45,31 +45,33 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from dl_speech_enhancement_tpu.utils.audiodec import (
-        assign_model, load_generator_from_checkpoint,
+        load_pair, load_generator_from_checkpoint,
     )
     from dl_speech_enhancement_tpu.stream import AudioCodecStreamer
     from dl_speech_enhancement_tpu.data import load_audio, write_wav
 
-    if args.checkpoint:
-        ckpt = args.checkpoint
-        sample_rate = None
-    elif args.model:
-        sample_rate, tx_ckpt, rx_ckpt = assign_model(args.model)
-        ckpt = tx_ckpt
-    else:
-        raise SystemExit("need --model or --checkpoint")
-
-    gen, params, vq_state, config = load_generator_from_checkpoint(
-        ckpt, use_pqc=not args.without_pqc
-    )
-    sample_rate = config.get("sampling_rate", config.get("sample_rate", 48000))
-
     inputs = args.input or []
     batch = max(len(inputs), 1)
-    streamer = AudioCodecStreamer(
-        gen, params, vq_state, frame_size=args.frame_size,
-        sample_rate=sample_rate, max_latency=args.max_latency, batch=batch,
-    )
+
+    if args.checkpoint:
+        gen, params, vq_state, config = load_generator_from_checkpoint(
+            args.checkpoint, use_pqc=not args.without_pqc
+        )
+        sample_rate = config.get("sampling_rate", config.get("sample_rate", 48000))
+        streamer = AudioCodecStreamer(
+            gen, params, vq_state, frame_size=args.frame_size,
+            sample_rate=sample_rate, max_latency=args.max_latency, batch=batch,
+        )
+    elif args.model:
+        # named preset: may pair an analyzer tx with a vocoder rx
+        tx, rx, sample_rate = load_pair(args.model, batch=batch)
+        streamer = AudioCodecStreamer(
+            tx.gen, tx.params, tx.vq_state, frame_size=args.frame_size,
+            sample_rate=sample_rate, max_latency=args.max_latency,
+            batch=batch, tx=tx, rx=rx,
+        )
+    else:
+        raise SystemExit("need --model or --checkpoint")
     streamer.load()
     logger.info("primed buffers (receptive %d samples, %d stream%s)",
                 streamer.receptive_length, batch, "s" if batch > 1 else "")

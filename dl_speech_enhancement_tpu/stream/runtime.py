@@ -215,10 +215,12 @@ class AudioCodec:
     (bin/stream.py AudioCodec / utils/audiodec.py AudioDec)."""
 
     def __init__(self, gen, params, vq_state, batch: int = 1,
-                 receptive_length: int | None = None):
+                 receptive_length: int | None = None, tx=None, rx=None):
+        """Pass prebuilt ``tx``/``rx`` to pair different endpoints (e.g. an
+        analyzer transmitter with a VocoderReceiver, the v0-v3 presets)."""
         self.gen = gen
-        self.tx_encoder = StreamingTransmitter(gen, params, vq_state, batch)
-        self.rx_encoder = StreamingReceiver(gen, params, vq_state, batch)
+        self.tx_encoder = tx or StreamingTransmitter(gen, params, vq_state, batch)
+        self.rx_encoder = rx or StreamingReceiver(gen, params, vq_state, batch)
         self.receptive_length = receptive_length or gen.receptive_length
 
     def load(self):
@@ -245,14 +247,16 @@ class AudioCodecStreamer(AudioCodec):
     def __init__(self, gen, params, vq_state, *, frame_size: int = 1200,
                  sample_rate: int = 48000, max_latency: float = 0.1,
                  batch: int = 1, receptive_length: int | None = None,
-                 input_dump=None, output_dump=None, fused: bool = True):
+                 input_dump=None, output_dump=None, fused: bool = True,
+                 tx=None, rx=None):
         """``fused=True`` (default) runs encode->quantize->lookup->decode as
         ONE jitted dispatch per frame in a single worker — half the
-        host<->device round trips of the two-thread tx/rx split. Set
-        ``fused=False`` for the reference's two-stage pipeline (e.g. when tx
-        and rx model different endpoints)."""
-        super().__init__(gen, params, vq_state, batch, receptive_length)
-        self.fused = fused
+        host<->device round trips of the two-thread tx/rx split. Custom
+        ``tx``/``rx`` endpoints (e.g. a VocoderReceiver) use the two-stage
+        pipeline."""
+        super().__init__(gen, params, vq_state, batch, receptive_length,
+                         tx=tx, rx=rx)
+        self.fused = fused and tx is None and rx is None
         if fused:
             tx, rx = self.tx_encoder, self.rx_encoder
 

@@ -249,6 +249,36 @@ def test_cli_analyze_eval_wavs(corpus, monkeypatch, tmp_path):
         assert key in battery
 
 
+def test_load_pair_vocoder_preset(corpus, monkeypatch, tmp_path):
+    """load_pair builds analyzer-tx + vocoder-rx from preset-shaped paths
+    (depends on the AE + vocoder CLI tests above)."""
+    import shutil
+    import jax.numpy as jnp
+    import numpy as _np
+    from dl_speech_enhancement_tpu.utils.audiodec import load_pair
+    from dl_speech_enhancement_tpu.stream.runtime import VocoderReceiver
+
+    exp = tmp_path / "exp"
+    ae_src = corpus / "exp" / "autoencoder" / "tiny"
+    voc_src = corpus / "exp" / "vocoder" / "tiny_voc"
+    ae_dst = exp / "autoencoder" / "symAD_vctk_48000_hop300"
+    voc_dst = exp / "vocoder" / "AudioDec_v1_symAD_vctk_48000_hop300_clean"
+    shutil.copytree(ae_src / "checkpoint-6steps", ae_dst / "checkpoint-200000steps")
+    shutil.copy(ae_src / "config.yml", ae_dst / "config.yml")
+    shutil.copytree(voc_src / "checkpoint-3steps", voc_dst / "checkpoint-500000steps")
+    shutil.copy(voc_src / "config.yml", voc_dst / "config.yml")
+
+    tx, rx, sr = load_pair("vctk_v1", exp_root=str(exp))
+    assert isinstance(rx, VocoderReceiver)
+    assert sr == 48000
+    chunk = jnp.asarray(
+        _np.random.default_rng(0).standard_normal((1, tx.gen.hop * 2, 1))
+        .astype(_np.float32))
+    idx = tx.encode(chunk)
+    y = rx.decode(idx)
+    assert y.shape == (1, tx.gen.hop * 2, 1)
+
+
 def test_cli_train_denoise_course_laptop(corpus, monkeypatch, tmp_path):
     from dl_speech_enhancement_tpu.cli import train_denoise as course_cli
 
