@@ -251,6 +251,28 @@ def test_course_loop_end_to_end(tmp_path, rng):
     assert any(r[0] == "Gradients" for r in reports)
 
 
+def test_latest_checkpoint_and_profiling_utils(tmp_path):
+    from dl_speech_enhancement_tpu.train.checkpoint import latest_checkpoint
+    import os
+    for steps in (100, 2000, 500):
+        os.makedirs(tmp_path / f"checkpoint-{steps}steps")
+    os.makedirs(tmp_path / "not-a-checkpoint")
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-2000steps")
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+    from dl_speech_enhancement_tpu.utils.profiling import StepTimer, measure_rtf
+    timer = StepTimer()
+    with timer.measure():
+        pass
+    assert timer.stats()["n"] == 1
+
+    import jax.numpy as jnp
+    fn = jax.jit(lambda x: x * 2.0)
+    r = measure_rtf(fn, jnp.zeros((1, 4800, 1)), sample_rate=4800, n_iters=3,
+                    warmup=1)
+    assert r["x_realtime"] > 0 and r["audio_seconds"] == 1.0
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     gen = AudioDecGenerator(**SMALL, use_pqc=True)
     params, vqs = gen.init(jax.random.PRNGKey(0))
