@@ -74,6 +74,16 @@ def test_stream_cli_without_pqc(tmp_path, rng):
     assert stats["frames"] > 0
 
 
+def test_stream_cli_live_without_sounddevice(tiny_ckpt, tmp_path, rng):
+    """--live without the optional sounddevice package fails with a clear
+    message instead of a bare ImportError."""
+    from dl_speech_enhancement_tpu.cli import stream as stream_cli
+
+    with pytest.raises(RuntimeError, match="sounddevice"):
+        stream_cli.main(["--checkpoint", tiny_ckpt, "--live",
+                         "--frame-size", "24"])
+
+
 def test_audiodec_facade_and_model_zoo(tiny_ckpt, tmp_path, rng):
     """utils.audiodec: facade load/prime/stream + preset table sanity."""
     import jax.numpy as jnp

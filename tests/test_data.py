@@ -167,6 +167,28 @@ def test_split_determinism_and_disjointness(tmp_path):
     assert all_idx == list(range(10))
 
 
+def test_dataloader_determinism_same_seed(tmp_path):
+    """Two loaders with the same seed yield identical batch sequences
+    (the reference's reproducibility contract, data_utils.py:38-51)."""
+    _make_wavs(tmp_path, n=8, seconds=0.5)
+    from dl_speech_enhancement_tpu.data import AudioDataset, create_dataloader
+
+    ds = AudioDataset(str(tmp_path / "clean"), "clean", 16000)
+    a = list(create_dataloader(ds, 2, 1600, seed=7))
+    b = list(create_dataloader(ds, 2, 1600, seed=7))
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = list(create_dataloader(ds, 2, 1600, seed=8))
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_prefetch_empty_iterator():
+    from dl_speech_enhancement_tpu.data.loader import prefetch_to_device
+    assert list(prefetch_to_device([])) == []
+    assert list(prefetch_to_device([np.ones(3)], size=5))[0].shape == (3,)
+
+
 def test_dataloader_end_to_end(tmp_path):
     _make_wavs(tmp_path, n=8, seconds=0.5)
     ds = AudioDataset(str(tmp_path / "clean"), "clean", 16000)
