@@ -243,6 +243,12 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
             gen_val += float(g_loss)
             dis_val += float(d_loss)
             n_val += 1
+        if n_val == 0:
+            logger.warning(
+                "validation yielded no batches (corpus too small for the "
+                "15%% split at batch_size=%s) — val losses report 0",
+                config.get("batch_size"),
+            )
         n_val = max(n_val, 1)
         _report("Generator Loss", "Train", avg_gen, epoch)
         _report("Generator Loss", "Validation", gen_val / n_val, epoch)

@@ -158,6 +158,61 @@ def test_hifigan_streaming_matches_upstream(rng):
 
 
 @requires_reference
+def test_hifigan_grouped_fast_decoder_matches_upstream(rng):
+    """AudioDec v1's MultiGroupConv1d decoder trick (grouped convs + 1x1
+    fuse) vs upstream with transplanted weights — pins the grouped-conv
+    weight layout for feature_group_count."""
+    add_reference_to_path()
+    _stub_torchaudio()
+    from models.vocoder.HiFiGAN import Generator as TorchHiFiGAN
+
+    kw = dict(
+        in_channels=16, out_channels=1, channels=64, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(11,), resblock_dilations=[(1, 3, 5)],
+        groups=3, bias=True, use_additional_convs=True,
+    )
+    tg = TorchHiFiGAN(**kw, use_weight_norm=True, stats=None)
+    tg.eval()
+
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    from dl_speech_enhancement_tpu.models.hifigan import MultiGroupConv1d
+    ours = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=64, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(11,), resblock_dilations=((1, 3, 5),), groups=3,
+    )
+    assert isinstance(ours.blocks[0], MultiGroupConv1d)
+
+    def wn_1x1(m):  # upstream Conv1d1x1 with weight norm
+        return {
+            "v": conv_w_raw(m.weight_v),
+            "g": jnp.asarray(m.weight_g.detach().numpy().transpose(2, 1, 0)),
+        }
+
+    def group_block_params(blk):
+        return {
+            "block": {
+                "convs1": [wn_conv_params(c.conv) for c in blk.convs1],
+                "convs2": [wn_conv_params(c.conv) for c in blk.convs2],
+            },
+            "conv_out": wn_1x1(blk.conv_out),
+        }
+
+    params = {
+        "input_conv": wn_conv_params(tg.input_conv.conv),
+        "upsamples": [wn_deconv_params(u.deconv) for u in tg.upsamples],
+        "blocks": [group_block_params(blk) for blk in tg.blocks],
+        "output_conv": wn_conv_params(tg.output_conv.conv),
+    }
+    c = rng.standard_normal((2, 16, 15)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.tensor(c)).numpy()
+    got = np.asarray(ours(params, jnp.asarray(c.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), ref, atol=2e-5)
+
+
+@requires_reference
 def test_streaming_generator_matches_upstream_stream(rng):
     """Upstream StreamGenerator chunked encode/quantize/lookup/decode vs our
     streaming pipeline, identical weights and chunks."""
