@@ -94,6 +94,89 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_vq_ema_dp_step_matches_single_device(rng):
+    """Autoencoder stage-1 (VQ EMA training) under a sharded batch must give
+    the same codebook update and loss as single-device — the EMA statistics
+    are global-batch reductions."""
+    from dl_speech_enhancement_tpu.train.workloads.autoencoder import (
+        make_autoencoder_steps,
+    )
+
+    config = dict(
+        use_mel_loss=True,
+        mel_loss_params=dict(fs=4800, fft_sizes=[256], hop_sizes=[60],
+                             win_lengths=[256], num_mels=20, fmin=0,
+                             fmax=2400, log_base=None),
+        lambda_mel_loss=45.0, lambda_vq_loss=1.0, lambda_adv=1.0,
+        lambda_feat_match=2.0, use_feat_match_loss=False,
+        generator_adv_loss_params={"average_by_discriminators": False},
+        discriminator_adv_loss_params={"average_by_discriminators": False},
+    )
+    from dl_speech_enhancement_tpu.train.optim import build_optimizer
+    opt_g = build_optimizer("Adam", {"lr": 1e-3, "betas": [0.5, 0.9]})
+    opt_d = build_optimizer("Adam", {"lr": 1e-3, "betas": [0.5, 0.9]})
+
+    def setup():
+        gen = AudioDecGenerator(**SMALL, use_pqc=True)
+        disc = HiFiGANDiscriminator(**TINY_DISC)
+        kg, kd = jax.random.split(jax.random.PRNGKey(0))
+        pg, vqs = gen.init(kg)
+        pd = disc.init(kd)
+        state = {"params_generator": pg, "params_discriminator": pd,
+                 "vq_state": vqs, "opt_generator": opt_g.init(pg),
+                 "opt_discriminator": opt_d.init(pd)}
+        return state, make_autoencoder_steps(gen, disc, config, opt_g, opt_d)
+
+    x = np.random.default_rng(3).standard_normal((8, 240, 1)).astype(np.float32)
+
+    state1, steps1 = setup()
+    s1, frags1, _ = steps1["gen_stage1"](state1, jnp.asarray(x))
+
+    state2, steps2 = setup()
+    mesh = make_mesh(8)
+    state2 = shard_train_state(mesh, state2)
+    s2, frags2, _ = steps2["gen_stage1"](state2, shard_batch(mesh, x))
+
+    np.testing.assert_allclose(float(frags1["generator_loss"]),
+                               float(frags2["generator_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s1["vq_state"].embed),
+                               np.asarray(s2["vq_state"].embed), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1["vq_state"].cluster_size),
+                               np.asarray(s2["vq_state"].cluster_size),
+                               atol=1e-5)
+
+
+def test_vq_ema_psum_under_shard_map(rng):
+    """The explicit axis_name/psum path (for shard_map users) reduces EMA
+    statistics across shards identically to a global-batch update."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from dl_speech_enhancement_tpu.nn import VectorQuantizeEMA
+
+    dim, K = 8, 16
+    vq = VectorQuantizeEMA(dim, K)
+    state = vq.init(jax.random.PRNGKey(0))
+    x = rng.standard_normal((8, 10, dim)).astype(np.float32)
+
+    _, global_state, _, _ = vq(state, jnp.asarray(x), train=True)
+
+    mesh = make_mesh(8)
+
+    def local_update(state, x_shard):
+        q, new_state, loss, ppl = vq(state, x_shard, train=True,
+                                     axis_name="data")
+        return new_state
+
+    sharded = shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P("data")), out_specs=P(),
+    )(state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(sharded.embed),
+                               np.asarray(global_state.embed), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.cluster_size),
+                               np.asarray(global_state.cluster_size), atol=1e-5)
+
+
 def test_parallel_long_audio_matches_serial(rng):
     """Overlap-discard chunked inference over the mesh == full forward."""
     from dl_speech_enhancement_tpu.parallel.long_audio import parallel_denoise
