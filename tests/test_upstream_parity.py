@@ -158,6 +158,95 @@ def test_hifigan_streaming_matches_upstream(rng):
 
 
 @requires_reference
+def test_discriminator_zoo_matches_upstream(rng):
+    """MPD + MSD with transplanted weights: every per-layer feature map must
+    match upstream (training losses consume all of them)."""
+    add_reference_to_path()
+    _stub_torchaudio()
+    from models.vocoder.modules.discriminator import (
+        HiFiGANMultiPeriodDiscriminator as TorchMPD,
+        HiFiGANMultiScaleDiscriminator as TorchMSD,
+    )
+    from dl_speech_enhancement_tpu.models import (
+        HiFiGANMultiPeriodDiscriminator, HiFiGANMultiScaleDiscriminator,
+    )
+
+    # ---- MPD (weight-normed Conv2d stack)
+    p_kw = {"in_channels": 1, "out_channels": 1, "kernel_sizes": [5, 3],
+            "channels": 8, "downsample_scales": [3, 3, 1],
+            "max_downsample_channels": 32}
+    tmpd = TorchMPD(periods=[2, 3], discriminator_params={
+        **p_kw, "bias": True, "nonlinear_activation": "LeakyReLU",
+        "nonlinear_activation_params": {"negative_slope": 0.1},
+        "use_weight_norm": True, "use_spectral_norm": False,
+    })
+    tmpd.eval()
+    ours_mpd = HiFiGANMultiPeriodDiscriminator(
+        periods=(2, 3), discriminator_params=p_kw)
+
+    def wn_conv2d(m):
+        # torch (out,in,kh,kw) -> ours (kh,kw,in,out)
+        return {
+            "v": jnp.asarray(m.weight_v.detach().numpy().transpose(2, 3, 1, 0)),
+            "g": jnp.asarray(m.weight_g.detach().numpy().transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(m.bias.detach().numpy()),
+        }
+
+    params = {"discriminators": []}
+    for d in tmpd.discriminators:
+        params["discriminators"].append({
+            "convs": [wn_conv2d(seq[0]) for seq in d.convs],
+            "output_conv": wn_conv2d(d.output_conv),
+        })
+    x = rng.standard_normal((2, 1, 90)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tmpd(torch.tensor(x))
+    got = ours_mpd(params, jnp.asarray(x.transpose(0, 2, 1)))
+    assert len(got) == len(ref)
+    for g_outs, r_outs in zip(got, ref):
+        assert len(g_outs) == len(r_outs)
+        for g, r in zip(g_outs, r_outs):
+            r = r.numpy()
+            g = np.asarray(g)
+            if g.ndim == 4:  # ours NHWC vs torch NCHW
+                g = g.transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(g, r, atol=2e-5)
+
+    # ---- MSD (plain Conv1d stack; upstream norm application is a no-op)
+    s_kw = {"in_channels": 1, "out_channels": 1,
+            "kernel_sizes": [15, 41, 5, 3], "channels": 16,
+            "max_downsample_channels": 64, "max_groups": 16,
+            "downsample_scales": [2, 2, 1]}
+    tmsd = TorchMSD(scales=2, discriminator_params={
+        **s_kw, "bias": True, "nonlinear_activation": "LeakyReLU",
+        "nonlinear_activation_params": {"negative_slope": 0.1},
+    }, follow_official_norm=True)
+    tmsd.eval()
+    ours_msd = HiFiGANMultiScaleDiscriminator(
+        scales=2, discriminator_params=s_kw, follow_official_norm=True)
+
+    def plain_conv1d(m):
+        return {"w": conv_w_raw(m.weight), "b": conv_b(m)}
+
+    params = {"discriminators": []}
+    for d in tmsd.discriminators:
+        layers = []
+        for layer in d.layers:
+            conv = layer[0] if isinstance(layer, torch.nn.Sequential) else layer
+            layers.append(plain_conv1d(conv))
+        params["discriminators"].append({"layers": layers})
+    x = rng.standard_normal((2, 1, 240)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tmsd(torch.tensor(x))
+    got = ours_msd(params, jnp.asarray(x.transpose(0, 2, 1)))
+    for g_outs, r_outs in zip(got, ref):
+        assert len(g_outs) == len(r_outs)
+        for g, r in zip(g_outs, r_outs):
+            np.testing.assert_allclose(
+                np.asarray(g).transpose(0, 2, 1), r.numpy(), atol=2e-5)
+
+
+@requires_reference
 def test_hifigan_grouped_fast_decoder_matches_upstream(rng):
     """AudioDec v1's MultiGroupConv1d decoder trick (grouped convs + 1x1
     fuse) vs upstream with transplanted weights — pins the grouped-conv
