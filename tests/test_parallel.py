@@ -201,6 +201,29 @@ def test_parallel_long_audio_matches_serial(rng):
     np.testing.assert_allclose(parallel, serial, atol=2e-4)
 
 
+def test_parallel_long_audio_pqc(rng):
+    """Chunk-parallel inference through the full PQC codec (encode -> VQ ->
+    decode) matches the serial forward."""
+    from dl_speech_enhancement_tpu.parallel.long_audio import parallel_denoise
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    params, vqs = gen.init(jax.random.PRNGKey(6))
+    hop = gen.hop
+    t = hop * 64 + hop * 30 * 4
+    audio = rng.standard_normal((t, 1)).astype(np.float32) * 0.3
+
+    @jax.jit
+    def forward(x):
+        y, *_ = gen(params, vqs, x, train=False)
+        return y
+
+    serial = np.asarray(forward(jnp.asarray(audio[None])))[0]
+    mesh = make_mesh(4)
+    parallel = parallel_denoise(gen, params, vqs, audio, n_chunks=4,
+                                context=hop * 64, mesh=mesh)
+    np.testing.assert_allclose(parallel, serial, atol=2e-4)
+
+
 def test_dp_scales_batch():
     """A sharded 16-sample batch runs fine (2 per device)."""
     state, steps = _setup()
