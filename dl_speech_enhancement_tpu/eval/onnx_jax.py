@@ -40,7 +40,18 @@ def _conv(env, node):
         pads = _attr(node, "pads", [0] * (2 * spatial))
         padding = [(int(pads[i]), int(pads[i + spatial])) for i in range(spatial)]
     elif auto_pad in ("SAME_UPPER", "SAME_LOWER"):
-        padding = "SAME"
+        # explicit asymmetric padding: ONNX puts the extra pad at the END for
+        # SAME_UPPER and at the START for SAME_LOWER (shapes are static under
+        # jit, so this is computable at trace time)
+        padding = []
+        for i in range(spatial):
+            in_dim = x.shape[2 + i]
+            eff_k = (w.shape[2 + i] - 1) * dilations[i] + 1
+            out_dim = -(-in_dim // strides[i])
+            total = max((out_dim - 1) * strides[i] + eff_k - in_dim, 0)
+            small, big = total // 2, total - total // 2
+            padding.append((small, big) if auto_pad == "SAME_UPPER"
+                           else (big, small))
     else:
         raise NotImplementedError(f"auto_pad {auto_pad}")
     if spatial == 1:
@@ -64,6 +75,10 @@ def _maxpool(env, node):
     kernel = tuple(_attr(node, "kernel_shape"))
     strides = tuple(_attr(node, "strides", kernel))
     pads = _attr(node, "pads", [0] * (2 * len(kernel)))
+    if int(_attr(node, "ceil_mode", 0)):
+        raise NotImplementedError("MaxPool ceil_mode")
+    if any(int(d) != 1 for d in _attr(node, "dilations", [1] * len(kernel))):
+        raise NotImplementedError("MaxPool dilations")
     sp = len(kernel)
     padding = [(0, 0), (0, 0)] + [
         (int(pads[i]), int(pads[i + sp])) for i in range(sp)
@@ -77,6 +92,10 @@ def _avgpool(env, node):
     x = env[node.inputs[0]]
     kernel = tuple(_attr(node, "kernel_shape"))
     strides = tuple(_attr(node, "strides", kernel))
+    if int(_attr(node, "ceil_mode", 0)):
+        raise NotImplementedError("AveragePool ceil_mode")
+    if any(int(p) != 0 for p in _attr(node, "pads", [0] * (2 * len(kernel)))):
+        raise NotImplementedError("AveragePool explicit pads")
     summed = lax.reduce_window(
         x, 0.0, lax.add, (1, 1) + kernel, (1, 1) + strides, "VALID"
     )
@@ -94,15 +113,24 @@ def _slice(env, node):
     idx = [slice(None)] * x.ndim
     for s, e, a, st in zip(starts, ends, axes, steps):
         dim = x.shape[int(a)]
-        s, e = int(s), int(e)
-        # ONNX clamps INT_MAX / negative indices
+        s, e, st = int(s), int(e), int(st)
+        if st == 0:
+            raise NotImplementedError("Slice step 0")
+        # ONNX semantics: negative indices wrap once, then clamp — including
+        # the INT64_MIN/INT64_MAX sentinels ("from the very start/end").
         if s < 0:
             s += dim
-        if e > dim:
-            e = dim
         if e < 0:
             e += dim
-        idx[int(a)] = slice(s, e, int(st))
+        if st > 0:
+            s = min(max(s, 0), dim)
+            stop = min(max(e, 0), dim)
+        else:
+            s = min(max(s, 0), dim - 1)
+            # e < 0 after wrapping means "past the first element": Python
+            # needs None there (slice(s, -1, -1) would be empty)
+            stop = None if e < 0 else min(e, dim - 1)
+        idx[int(a)] = slice(s, stop, st)
     return x[tuple(idx)]
 
 
@@ -204,9 +232,16 @@ def run_graph(graph: Graph, feeds: dict) -> list:
         elif op == "Dropout":
             out = env[node.inputs[0]]
         elif op == "Cast":
-            dtype = {1: jnp.float32, 6: jnp.int32, 7: jnp.int64,
-                     11: jnp.float64}[int(_attr(node, "to"))]
-            out = env[node.inputs[0]].astype(dtype)
+            # onnx.TensorProto dtype codes
+            to = int(_attr(node, "to"))
+            dtypes = {1: jnp.float32, 2: jnp.uint8, 3: jnp.int8,
+                      4: jnp.uint16, 5: jnp.int16, 6: jnp.int32,
+                      7: jnp.int64, 9: jnp.bool_, 10: jnp.float16,
+                      11: jnp.float64, 12: jnp.uint32, 13: jnp.uint64,
+                      16: jnp.bfloat16}
+            if to not in dtypes:
+                raise NotImplementedError(f"Cast to dtype code {to}")
+            out = env[node.inputs[0]].astype(dtypes[to])
         elif op == "Constant":
             out = jnp.asarray(_attr(node, "value").data
                               if node.attrs["value"].t is not None

@@ -344,16 +344,30 @@ class AudioDecGenerator:
         # Encoder total hop (samples per code frame); 300 for the vctk config.
         self.hop = self.encoder.hop
         # Streaming receptive length in samples (used to prime caches).
-        self.receptive_length = self._receptive_length(enc_strides)
+        self.receptive_length = self._derive_receptive_length()
 
-    @staticmethod
-    def _receptive_length(enc_strides) -> int:
-        # Conservative: enough zero samples so every enc cache is warm.
-        # (The reference hardcodes per-model values, utils/audiodec.py:23.)
-        hop = 1
-        for s in enc_strides:
-            hop *= s
-        return hop * 32
+    def _derive_receptive_length(self) -> int:
+        """Exact tx receptive field in input samples for ONE code frame,
+        walked backwards through projector + encoder with
+        ``R_in = (R_out - 1) * stride + (kernel - 1) * dilation + 1``.
+
+        Reproduces the reference's per-model constants from the architecture
+        instead of hardcoding them: 7209 for symAD_vctk_48000_hop300
+        (comment at reference utils/audiodec.py:23) and 6609 for the
+        without-PQC denoiser (no projector).
+        """
+        r = 1
+        if self.use_pqc:
+            c = self.projector.conv
+            r = (r - 1) * c.stride + (c.kernel_size - 1) * c.dilation + 1
+        for blk in reversed(self.encoder.blocks):
+            c = blk.conv
+            r = (r - 1) * c.stride + (c.kernel_size - 1) * c.dilation + 1
+            for u in reversed(blk.res_units):
+                r += (u.conv1.kernel_size - 1) * u.conv1.dilation
+        c = self.encoder.conv
+        r += (c.kernel_size - 1) * c.dilation
+        return r
 
     # ---------------- parameters ----------------
 
@@ -431,7 +445,10 @@ class AudioDecGenerator:
         """Prime all caches with zeros (reference initial_encoder/initial_decoder,
         AudioDec.py:151-160). Returns a warmed-up cache pytree."""
         rl = receptive_length or self.receptive_length
-        rl = (rl // self.hop) * self.hop
+        # round UP to a whole number of code frames (the chunk step needs
+        # hop-aligned input; 7209 -> 7500, matching the reference's
+        # hardcoded priming length at utils/audiodec.py:24)
+        rl = -(-rl // self.hop) * self.hop
         cache = self.init_cache(batch)
         zeros = jnp.zeros((batch, rl, self.input_channels), jnp.float32)
         z, enc_cache = self.encode_step(params, cache, zeros)

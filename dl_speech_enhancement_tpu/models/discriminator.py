@@ -11,8 +11,11 @@ Norm behavior faithfully reproduces the reference *as it actually runs*:
   ``apply_spectral_norm`` only match ``Conv2d`` modules, while the layers are
   ``Conv1d`` — so **no norm is applied at all**, regardless of
   ``follow_official_norm`` (documented reference bug, discriminator.py:354-372).
-  We default to the same effective behavior (plain convs) and expose
-  ``msd_norm='weight'`` to opt into the intended parametrization.
+  We default to the same effective behavior (plain convs); opt into the
+  intended parametrizations via ``discriminator_params``'s
+  ``use_weight_norm``/``use_spectral_norm`` per scale, or
+  ``follow_official_norm=True`` for the official pattern (spectral on the
+  first scale, weight norm on the rest).
 - MRSD (UnivNet, Conv2d stack): weight norm applied (discriminator.py:572-580).
 
 Input layout: waveforms are (B, T, 1); the MPD reshapes to
@@ -47,7 +50,7 @@ class HiFiGANPeriodDiscriminator:
         assert len(kernel_sizes) == 2
         assert kernel_sizes[0] % 2 == 1 and kernel_sizes[1] % 2 == 1
         if use_spectral_norm:
-            raise NotImplementedError("MPD spectral norm unused by the reference configs")
+            use_weight_norm = False  # mutually exclusive (discriminator.py:135-138)
         self.period = period
         self.negative_slope = negative_slope
         self.convs = []
@@ -56,14 +59,14 @@ class HiFiGANPeriodDiscriminator:
             self.convs.append(Conv2d(
                 in_chs, out_chs, (kernel_sizes[0], 1), (scale, 1),
                 padding=((kernel_sizes[0] - 1) // 2, 0), bias=bias,
-                weight_norm=use_weight_norm,
+                weight_norm=use_weight_norm, spectral_norm=use_spectral_norm,
             ))
             in_chs = out_chs
             out_chs = min(out_chs * 4, max_downsample_channels)
         self.output_conv = Conv2d(
             in_chs, out_channels, (kernel_sizes[1] - 1, 1), (1, 1),
             padding=((kernel_sizes[1] - 1) // 2, 0), bias=bias,
-            weight_norm=use_weight_norm,
+            weight_norm=use_weight_norm, spectral_norm=use_spectral_norm,
         )
 
     def init(self, key) -> Params:
@@ -134,30 +137,32 @@ class HiFiGANScaleDiscriminator:
         assert len(kernel_sizes) == 4
         for ks in kernel_sizes:
             assert ks % 2 == 1
-        del use_spectral_norm  # effective no-op in the reference; see docstring
+        if use_spectral_norm:
+            use_weight_norm = False  # mutually exclusive, as in torch
+        norms = dict(weight_norm=use_weight_norm,
+                     spectral_norm=use_spectral_norm)
         self.negative_slope = negative_slope
         self.layers = []
         self.layers.append(Conv1d(in_channels, channels, kernel_sizes[0],
                                   padding=(kernel_sizes[0] - 1) // 2, bias=bias,
-                                  weight_norm=use_weight_norm))
+                                  **norms))
         in_chs = out_chs = channels
         groups = 4
         for scale in downsample_scales:
             self.layers.append(Conv1d(in_chs, out_chs, kernel_sizes[1],
                                       stride=scale,
                                       padding=(kernel_sizes[1] - 1) // 2,
-                                      groups=groups, bias=bias,
-                                      weight_norm=use_weight_norm))
+                                      groups=groups, bias=bias, **norms))
             in_chs = out_chs
             out_chs = min(in_chs * 2, max_downsample_channels)
             groups = min(groups * 4, max_groups)
         out_chs = min(in_chs * 2, max_downsample_channels)
         self.layers.append(Conv1d(in_chs, out_chs, kernel_sizes[2],
                                   padding=(kernel_sizes[2] - 1) // 2, bias=bias,
-                                  weight_norm=use_weight_norm))
+                                  **norms))
         self.layers.append(Conv1d(out_chs, out_channels, kernel_sizes[3],
                                   padding=(kernel_sizes[3] - 1) // 2, bias=bias,
-                                  weight_norm=use_weight_norm))
+                                  **norms))
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, len(self.layers))
@@ -195,11 +200,20 @@ class HiFiGANMultiScaleDiscriminator:
             **(downsample_pooling_params or {}),
         }
         params = _clean_msd(dict(discriminator_params or {}))
-        # follow_official_norm has no effective impact in the reference (the
-        # norm application is a no-op on Conv1d); keep the flag for config
-        # compatibility.
-        del follow_official_norm
-        self.discriminators = [HiFiGANScaleDiscriminator(**params) for _ in range(scales)]
+        # follow_official_norm=True implements the official HiFiGAN intent:
+        # spectral norm on the first scale, weight norm on the rest
+        # (reference discriminator.py:389-401). NOTE the reference's own
+        # application is a silent no-op on its Conv1d layers
+        # (discriminator.py:354-372, documented bug), so default configs run
+        # plain convs there — and here, when the flag is False.
+        self.discriminators = []
+        for i in range(scales):
+            kw = dict(params)
+            if follow_official_norm:
+                kw.pop("use_weight_norm", None)
+                kw.pop("use_spectral_norm", None)
+                kw.update(use_spectral_norm=(i == 0), use_weight_norm=(i != 0))
+            self.discriminators.append(HiFiGANScaleDiscriminator(**kw))
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, len(self.discriminators))

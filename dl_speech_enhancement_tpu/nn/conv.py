@@ -57,6 +57,29 @@ def _kaiming_uniform_bound(fan_in: int) -> float:
     return 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
 
 
+def _spectral_norm_weight(w: jax.Array, u: jax.Array, out_axis: int,
+                          n_iters: int = 3, eps: float = 1e-12) -> jax.Array:
+    """w / sigma_max(W), W = w as an (out, fan_in) matrix — spectral norm.
+
+    Power iteration runs from the stored ``u`` estimate each call
+    (torch nn.utils.spectral_norm semantics, with the iteration stateless
+    per call instead of persisted: a few extra matvecs instead of threaded
+    buffer state, which keeps discriminator params a plain pytree). As in
+    torch, u/v are constants for the gradient; grads flow through
+    ``sigma = u^T W v`` w.r.t. W only.
+    """
+    wm = jnp.moveaxis(w, out_axis, 0).reshape(w.shape[out_axis], -1)
+    for _ in range(n_iters):
+        v = wm.T @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), eps)
+        u = wm @ v
+        u = u / jnp.maximum(jnp.linalg.norm(u), eps)
+    u = lax.stop_gradient(u)
+    v = lax.stop_gradient(v)
+    sigma = u @ (wm @ v)
+    return w / sigma
+
+
 class Conv1d:
     """Plain 1-D convolution over (B, T, C), optionally weight-normed.
 
@@ -76,11 +99,13 @@ class Conv1d:
         groups: int = 1,
         bias: bool = True,
         weight_norm: bool = False,
+        spectral_norm: bool = False,
         w_init: str = "torch",
         w_init_scale: float = 0.01,
     ):
         if padding < 0:
             padding = (kernel_size - 1) // 2 * dilation
+        assert not (weight_norm and spectral_norm)
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel_size = kernel_size
@@ -90,6 +115,7 @@ class Conv1d:
         self.groups = groups
         self.bias = bias
         self.weight_norm = weight_norm
+        self.spectral_norm = spectral_norm
         self.w_init = w_init
         self.w_init_scale = w_init_scale
 
@@ -110,7 +136,12 @@ class Conv1d:
         )
 
     def init(self, key) -> Params:
-        kw, kb = _split(key, 2)
+        # keep the historical 2-way key split when spectral norm is off so
+        # initializations stay bit-identical with older checkpoints/tests
+        if self.spectral_norm:
+            kw, kb, ku = _split(key, 3)
+        else:
+            kw, kb = _split(key, 2)
         w = self._init_weight(kw)
         p: Params = {}
         if self.weight_norm:
@@ -119,6 +150,9 @@ class Conv1d:
             p["v"], p["g"] = w, g
         else:
             p["w"] = w
+        if self.spectral_norm:
+            u = jax.random.normal(ku, (self.out_channels,), jnp.float32)
+            p["u"] = u / jnp.linalg.norm(u)
         if self.bias:
             fan_in = self.kernel_size * self.in_channels // self.groups
             bound = _kaiming_uniform_bound(fan_in)
@@ -130,6 +164,8 @@ class Conv1d:
     def weight(self, params: Params) -> jax.Array:
         if self.weight_norm:
             return _norm_weight(params["v"], params["g"], (0, 1))
+        if self.spectral_norm:
+            return _spectral_norm_weight(params["w"], params["u"], 2)
         return params["w"]
 
     def _conv(self, x, w, pad_lo, pad_hi):
@@ -374,7 +410,9 @@ class Conv2d:
         padding: tuple[int, int] = (0, 0),
         bias: bool = True,
         weight_norm: bool = False,
+        spectral_norm: bool = False,
     ):
+        assert not (weight_norm and spectral_norm)
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel_size = kernel_size
@@ -382,13 +420,17 @@ class Conv2d:
         self.padding = padding
         self.bias = bias
         self.weight_norm = weight_norm
+        self.spectral_norm = spectral_norm
 
     def _w_shape(self):
         kh, kw = self.kernel_size
         return (kh, kw, self.in_channels, self.out_channels)
 
     def init(self, key) -> Params:
-        kw_, kb = _split(key, 2)
+        if self.spectral_norm:
+            kw_, kb, ku = _split(key, 3)
+        else:
+            kw_, kb = _split(key, 2)
         fan_in = self.kernel_size[0] * self.kernel_size[1] * self.in_channels
         bound = _kaiming_uniform_bound(fan_in)
         w = jax.random.uniform(
@@ -400,6 +442,9 @@ class Conv2d:
             p["v"], p["g"] = w, g
         else:
             p["w"] = w
+        if self.spectral_norm:
+            u = jax.random.normal(ku, (self.out_channels,), jnp.float32)
+            p["u"] = u / jnp.linalg.norm(u)
         if self.bias:
             p["b"] = jax.random.uniform(
                 kb, (self.out_channels,), jnp.float32, minval=-bound, maxval=bound
@@ -409,6 +454,8 @@ class Conv2d:
     def weight(self, params: Params) -> jax.Array:
         if self.weight_norm:
             return _norm_weight(params["v"], params["g"], (0, 1, 2))
+        if self.spectral_norm:
+            return _spectral_norm_weight(params["w"], params["u"], 3)
         return params["w"]
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:

@@ -34,16 +34,24 @@ logger = logging.getLogger(__name__)
 
 
 class StreamingTransmitter:
-    """Tx side: audio chunk -> flattened code indices (one jitted step)."""
+    """Tx side: audio chunk -> flattened code indices (one jitted step).
 
-    def __init__(self, gen, params, vq_state, batch: int = 1):
+    ``device`` places this endpoint's weights, cache and compute on a
+    specific device (the reference's ``tx_device``, bin/stream.py:26-35);
+    default is the process default device. Code indices produced here are
+    the wire format — a paired receiver on another device pulls them across.
+    """
+
+    def __init__(self, gen, params, vq_state, batch: int = 1, device=None):
         self.gen = gen
+        self.device = device
         # Pin weights/codebooks on device once — checkpoint restores hand
         # back numpy arrays, and passing those to a jitted step would
         # re-upload every parameter on every frame (catastrophic through a
         # tunneled chip: ~400 ms/frame observed).
-        self.params = jax.device_put(params)
-        self.vq_state = jax.device_put(vq_state) if vq_state is not None else None
+        self.params = jax.device_put(params, device)
+        self.vq_state = (jax.device_put(vq_state, device)
+                         if vq_state is not None else None)
         self.batch = batch
         self.use_pqc = gen.use_pqc
 
@@ -54,19 +62,24 @@ class StreamingTransmitter:
                 return idx, new_cache
             return z, new_cache
 
+        # execution device follows the committed params/cache placement
         self._step = jax.jit(_step)
         self.reset_buffer()
 
     def reset_buffer(self):
-        self.cache = {
-            k: v for k, v in self.gen.init_cache(self.batch).items()
-            if k in ("encoder", "projector")
-        }
+        self.cache = jax.device_put(
+            {
+                k: v for k, v in self.gen.init_cache(self.batch).items()
+                if k in ("encoder", "projector")
+            },
+            self.device,
+        )
 
     def initial_encoder(self, receptive_length: int):
         """Prime caches with a zero receptive field (AudioDec.py:151-157).
         Returns the priming output (codes) like the reference."""
-        rl = (receptive_length // self.gen.hop) * self.gen.hop
+        # hop-aligned, rounded UP so the full receptive field is covered
+        rl = -(-receptive_length // self.gen.hop) * self.gen.hop
         zeros = jnp.zeros((self.batch, rl, self.gen.input_channels), jnp.float32)
         out = self.encode(zeros)
         return out
@@ -78,14 +91,21 @@ class StreamingTransmitter:
 
 
 class StreamingReceiver:
-    """Rx side: code indices -> audio chunk (one jitted step)."""
+    """Rx side: code indices -> audio chunk (one jitted step).
 
-    def __init__(self, gen, params, vq_state, batch: int = 1):
+    ``device`` places this endpoint on a specific device (the reference's
+    ``rx_device``); int32 code indices arriving from a transmitter on a
+    different device are re-committed here before decode (the tx->rx wire).
+    """
+
+    def __init__(self, gen, params, vq_state, batch: int = 1, device=None):
         self.gen = gen
-        self.params = jax.device_put(params)  # see StreamingTransmitter
+        self.device = device
+        self.params = jax.device_put(params, device)  # see StreamingTransmitter
         self.batch = batch
         self.use_pqc = gen.use_pqc
-        self.flat_cb = (jax.device_put(gen.flat_codebook(jax.device_put(vq_state)))
+        self.flat_cb = (jax.device_put(gen.flat_codebook(jax.device_put(vq_state)),
+                                       device)
                         if self.use_pqc else None)
 
         def _step(params, flat_cb, cache, idx):
@@ -97,12 +117,16 @@ class StreamingReceiver:
         self.reset_buffer()
 
     def reset_buffer(self):
-        self.cache = {"decoder": self.gen.init_cache(self.batch)["decoder"]}
+        self.cache = jax.device_put(
+            {"decoder": self.gen.init_cache(self.batch)["decoder"]}, self.device
+        )
 
     def initial_decoder(self, idx):
         return self.decode(idx)
 
     def decode(self, idx) -> jax.Array:
+        if self.device is not None:
+            idx = jax.device_put(idx, self.device)  # tx -> rx device transfer
         y, new_cache = self._step(self.params, self.flat_cb, self.cache, idx)
         self.cache.update(new_cache)
         return y
@@ -115,14 +139,15 @@ class VocoderReceiver:
     utils/audiodec.py:96-103 + models/vocoder/HiFiGAN.py:268-296)."""
 
     def __init__(self, codec_gen, vocoder, vocoder_params, vq_state,
-                 batch: int = 1):
+                 batch: int = 1, device=None):
         self.codec_gen = codec_gen
         self.vocoder = vocoder
-        self.params = jax.device_put(vocoder_params)
+        self.device = device
+        self.params = jax.device_put(vocoder_params, device)
         self.batch = batch
         self.use_pqc = codec_gen.use_pqc
         self.flat_cb = (jax.device_put(
-            codec_gen.flat_codebook(jax.device_put(vq_state)))
+            codec_gen.flat_codebook(jax.device_put(vq_state)), device)
             if self.use_pqc else None)
 
         def _step(params, flat_cb, cache, idx):
@@ -133,12 +158,15 @@ class VocoderReceiver:
         self.reset_buffer()
 
     def reset_buffer(self):
-        self.cache = self.vocoder.init_cache(self.batch)
+        self.cache = jax.device_put(self.vocoder.init_cache(self.batch),
+                                    self.device)
 
     def initial_decoder(self, idx):
         return self.decode(idx)
 
     def decode(self, idx) -> jax.Array:
+        if self.device is not None:
+            idx = jax.device_put(idx, self.device)  # tx -> rx device transfer
         y, new_cache = self._step(self.params, self.flat_cb, self.cache, idx)
         self.cache = new_cache
         return y
@@ -215,12 +243,18 @@ class AudioCodec:
     (bin/stream.py AudioCodec / utils/audiodec.py AudioDec)."""
 
     def __init__(self, gen, params, vq_state, batch: int = 1,
-                 receptive_length: int | None = None, tx=None, rx=None):
+                 receptive_length: int | None = None, tx=None, rx=None,
+                 tx_device=None, rx_device=None):
         """Pass prebuilt ``tx``/``rx`` to pair different endpoints (e.g. an
-        analyzer transmitter with a VocoderReceiver, the v0-v3 presets)."""
+        analyzer transmitter with a VocoderReceiver, the v0-v3 presets).
+        ``tx_device``/``rx_device`` place the endpoints on distinct devices
+        (reference bin/stream.py:26-35); the int32 code indices are the
+        payload crossing the boundary."""
         self.gen = gen
-        self.tx_encoder = tx or StreamingTransmitter(gen, params, vq_state, batch)
-        self.rx_encoder = rx or StreamingReceiver(gen, params, vq_state, batch)
+        self.tx_encoder = tx or StreamingTransmitter(gen, params, vq_state,
+                                                     batch, device=tx_device)
+        self.rx_encoder = rx or StreamingReceiver(gen, params, vq_state,
+                                                  batch, device=rx_device)
         self.receptive_length = receptive_length or gen.receptive_length
 
     def load(self):
@@ -248,16 +282,17 @@ class AudioCodecStreamer(AudioCodec):
                  sample_rate: int = 48000, max_latency: float = 0.1,
                  batch: int = 1, receptive_length: int | None = None,
                  input_dump=None, output_dump=None, fused: bool = True,
-                 tx=None, rx=None):
+                 tx=None, rx=None, tx_device=None, rx_device=None):
         """``fused=True`` (default) runs encode->quantize->lookup->decode as
         ONE jitted dispatch per frame in a single worker — half the
         host<->device round trips of the two-thread tx/rx split. Custom
-        ``tx``/``rx`` endpoints (e.g. a VocoderReceiver) use the two-stage
-        pipeline."""
+        ``tx``/``rx`` endpoints (e.g. a VocoderReceiver) or distinct
+        ``tx_device``/``rx_device`` placements use the two-stage pipeline."""
         super().__init__(gen, params, vq_state, batch, receptive_length,
-                         tx=tx, rx=rx)
-        self.fused = fused and tx is None and rx is None
-        if fused:
+                         tx=tx, rx=rx, tx_device=tx_device, rx_device=rx_device)
+        self.fused = (fused and tx is None and rx is None
+                      and tx_device is rx_device)
+        if self.fused:
             tx, rx = self.tx_encoder, self.rx_encoder
 
             def _fused(params, flat_cb, vq_state, tx_cache, rx_cache, chunk):
@@ -282,6 +317,11 @@ class AudioCodecStreamer(AudioCodec):
         self.output_queue: queue.Queue = queue.Queue()
         self.enc_times: list[float] = []
         self.dec_times: list[float] = []
+        self.fused_times: list[float] = []
+        # fused mode runs enc+dec as ONE dispatch; per-side numbers are the
+        # measured frame time split by a ratio calibrated at warmup() from
+        # real separate enc/dec dispatches (value-fetch fenced)
+        self._enc_frac = 0.5
         self.latencies: list[float] = []
         self.frame_drops = 0
         self.n_frames = 0
@@ -303,10 +343,27 @@ class AudioCodecStreamer(AudioCodec):
                            self.gen.input_channels), jnp.float32)
         if self.fused:
             y = self._run_fused(zeros)
+            _ = np.asarray(y)  # value fetch = reliable fence on this backend
+            # calibrate the enc/dec split from real separate dispatches
+            # (compiles the split steps too; np.asarray fences each)
+            enc_t = dec_t = 0.0
+            for _i in range(4):
+                t0 = time.perf_counter()
+                idx = self._encode(zeros)
+                _ = np.asarray(idx)
+                t1 = time.perf_counter()
+                y = self._decode(idx)
+                _ = np.asarray(y)
+                t2 = time.perf_counter()
+                if _i:  # skip the compile iteration
+                    enc_t += t1 - t0
+                    dec_t += t2 - t1
+            if enc_t + dec_t > 0:
+                self._enc_frac = enc_t / (enc_t + dec_t)
         else:
             idx = self._encode(zeros)
             y = self._decode(idx)
-        jax.block_until_ready(y)
+            _ = np.asarray(y)
         self.tx_encoder.cache = tx_cache
         self.rx_encoder.cache = rx_cache
 
@@ -331,8 +388,9 @@ class AudioCodecStreamer(AudioCodec):
             if self.fused:
                 y = np.asarray(self._run_fused(frame))
                 dt = time.perf_counter() - t0
-                self.enc_times.append(dt / 2)
-                self.dec_times.append(dt / 2)
+                self.fused_times.append(dt)
+                self.enc_times.append(dt * self._enc_frac)
+                self.dec_times.append(dt * (1.0 - self._enc_frac))
                 self.output_queue.put((y, t_in))
                 continue
             idx = self._encode(frame)
@@ -450,6 +508,9 @@ class AudioCodecStreamer(AudioCodec):
                 "sounddevice is not available in this environment; use "
                 "run_array() for file-driven streaming"
             ) from e
+        # compile ahead of the audio callback — first-compile through the
+        # remote compile service takes ~100 s and would stall live audio
+        self.warmup()
         threads = [
             threading.Thread(target=self._encoder_worker, daemon=True),
             threading.Thread(target=self._decoder_worker, daemon=True),
@@ -481,7 +542,7 @@ class AudioCodecStreamer(AudioCodec):
         enc_mean, enc_std = ms(self.enc_times)
         dec_mean, dec_std = ms(self.dec_times)
         lat_mean, lat_std = ms(self.latencies)
-        return {
+        out = {
             "encoder_ms_mean": enc_mean, "encoder_ms_std": enc_std,
             "decoder_ms_mean": dec_mean, "decoder_ms_std": dec_std,
             "latency_ms_mean": lat_mean, "latency_ms_std": lat_std,
@@ -489,3 +550,15 @@ class AudioCodecStreamer(AudioCodec):
             "frames": self.n_frames,
             "drop_pct": 100.0 * self.frame_drops / max(self.n_frames, 1),
         }
+        if self.fused_times:
+            fused_mean, fused_std = ms(self.fused_times)
+            out.update(
+                fused_ms_mean=fused_mean, fused_ms_std=fused_std,
+                # per-side numbers above are fused frame time split by the
+                # warmup-calibrated enc/dec ratio, not per-frame measurements
+                timing_mode="fused-calibrated-split",
+                enc_frac=round(self._enc_frac, 4),
+            )
+        else:
+            out["timing_mode"] = "per-side"
+        return out

@@ -18,10 +18,10 @@ import jax
 
 from dl_speech_enhancement_tpu.stream.runtime import AudioCodec, AudioCodecStreamer
 
-# Streaming receptive lengths per preset (reference utils/audiodec.py:23
-# documents 7209 for symAD_vctk_48000_hop300; we round up to whole code
-# frames).
-_RECEPTIVE = {48000: 7500, 24000: 7500}
+# Streaming receptive lengths are derived from the architecture
+# (AudioDecGenerator._derive_receptive_length: 7209 for
+# symAD_vctk_48000_hop300, matching the reference's documented constant at
+# utils/audiodec.py:23) — no per-preset table needed.
 
 
 def assign_model(model: str, exp_root: str = "exp"):
@@ -133,10 +133,7 @@ class AudioDec:
         self.gen = gen
         self.config = config
         self.sample_rate = config.get("sampling_rate", 48000)
-        self.codec = AudioCodec(
-            gen, params, vq_state, batch=batch,
-            receptive_length=_RECEPTIVE.get(self.sample_rate, 7500),
-        )
+        self.codec = AudioCodec(gen, params, vq_state, batch=batch)
         self.codec.load()
 
     def streamer(self, frame_size: int = 1200, **kw) -> AudioCodecStreamer:

@@ -178,3 +178,65 @@ def test_weight_norm_deconv_matches_torch(rng):
     }
     ours = layer(params, jnp.asarray(x.transpose(0, 2, 1)))
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_spectral_norm_divides_by_top_singular_value(rng):
+    """Effective weight == w / sigma_max(W) (torch spectral_norm semantics;
+    power iteration from the stored u must converge to the SVD value)."""
+    from dl_speech_enhancement_tpu.nn.conv import (
+        Conv1d, Conv2d, _spectral_norm_weight,
+    )
+
+    conv = Conv1d(8, 16, 5, spectral_norm=True)
+    p = conv.init(jax.random.PRNGKey(0))
+    assert "u" in p and p["u"].shape == (16,)
+    w = np.asarray(p["w"])
+    sigma = np.linalg.svd(w.transpose(2, 0, 1).reshape(16, -1),
+                          compute_uv=False)[0]
+    w_eff = np.asarray(
+        _spectral_norm_weight(p["w"], p["u"], 2, n_iters=50))
+    np.testing.assert_allclose(w_eff, w / sigma, rtol=2e-3)
+
+    conv2 = Conv2d(4, 8, (3, 3), spectral_norm=True)
+    p2 = conv2.init(jax.random.PRNGKey(1))
+    w2 = np.asarray(p2["w"])
+    sigma2 = np.linalg.svd(w2.transpose(3, 0, 1, 2).reshape(8, -1),
+                           compute_uv=False)[0]
+    w2_eff = np.asarray(
+        _spectral_norm_weight(p2["w"], p2["u"], 3, n_iters=50))
+    np.testing.assert_allclose(w2_eff, w2 / sigma2, rtol=2e-3)
+
+
+def test_spectral_norm_gradient_matches_torch(rng):
+    """Gradient flows through sigma with u/v treated as constants — compare
+    d/dw sum(conv_sn(x)) against torch.nn.utils.spectral_norm after syncing
+    the power-iteration state."""
+    import torch
+
+    cin, cout, k, t = 4, 6, 3, 16
+    x = rng.standard_normal((1, t, cin)).astype(np.float32)
+
+    conv = Conv1d(cin, cout, k, padding=0, bias=False, spectral_norm=True)
+    p = conv.init(jax.random.PRNGKey(0))
+
+    tconv = torch.nn.Conv1d(cin, cout, k, padding=0, bias=False)
+    with torch.no_grad():
+        # our layout (k, in, out) -> torch (out, in, k)
+        tconv.weight.copy_(torch.from_numpy(
+            np.asarray(p["w"]).transpose(2, 1, 0).copy()))
+    tconv = torch.nn.utils.spectral_norm(tconv, n_power_iterations=30)
+    tx = torch.from_numpy(x.transpose(0, 2, 1).copy()).requires_grad_(False)
+    ty = tconv(tx)  # runs 30 iterations, updates u in-place
+    tconv.weight_orig.grad = None
+    ty.sum().backward()
+    torch_grad = tconv.weight_orig.grad.numpy().transpose(2, 1, 0)
+
+    # sync our u with torch's converged u, use few iterations on top
+    p = dict(p)
+    p["u"] = jnp.asarray(tconv.weight_u.detach().numpy())
+
+    def loss(w):
+        return jnp.sum(conv({**p, "w": w}, jnp.asarray(x)))
+
+    jax_grad = np.asarray(jax.grad(loss)(p["w"]))
+    np.testing.assert_allclose(jax_grad, torch_grad, rtol=1e-3, atol=1e-5)

@@ -315,3 +315,73 @@ def test_univnet_discriminator_outputs(rng):
     x = jnp.asarray(rng.standard_normal((1, 1024, 1)).astype(np.float32))
     outs = disc(p, x)
     assert len(outs) == 4  # 2 resolutions + 2 periods
+
+
+def test_derived_receptive_length():
+    """The streaming receptive field is derived from the architecture and
+    reproduces the reference's documented constant: 7209 samples for
+    symAD_vctk_48000_hop300 (utils/audiodec.py:23); the without-PQC denoiser
+    loses the projector's 2-code-frame extension (-> 6609)."""
+    assert AudioDecGenerator(use_pqc=True).receptive_length == 7209
+    assert AudioDecGenerator(use_pqc=False).receptive_length == 6609
+    # small topology: hand-walked value
+    g = AudioDecGenerator(**SMALL, use_pqc=False)
+    # enc: conv k7 (+6); blk1@1: res +78, down k6 s3; blk2@3: res +78, down k8 s4
+    r = 1
+    r = (r - 1) * 4 + 8
+    r += 78
+    r = (r - 1) * 3 + 6
+    r += 78
+    r += 6
+    assert g.receptive_length == r
+
+
+def test_prime_rounds_receptive_up_to_hop():
+    """prime() must cover the FULL receptive field: 7209 -> 7500 samples
+    (25 code frames), matching the reference's hardcoded priming length
+    (utils/audiodec.py:24)."""
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(0))
+    # receptive_length is not hop-aligned for this topology
+    assert gen.receptive_length % gen.hop != 0
+    cache = gen.prime(params, None)  # must not raise (hop-aligned internally)
+    y, _ = gen.decode_step(
+        params, cache,
+        jnp.zeros((1, 2, gen.encoder.out_channels), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_msd_follow_official_norm_wiring():
+    """follow_official_norm=True: spectral norm on scale 0, weight norm on
+    the rest (official HiFiGAN pattern, reference discriminator.py:389-401)."""
+    from dl_speech_enhancement_tpu.models.discriminator import (
+        HiFiGANMultiScaleDiscriminator,
+    )
+
+    msd = HiFiGANMultiScaleDiscriminator(
+        scales=3, follow_official_norm=True,
+        discriminator_params={
+            "kernel_sizes": [15, 41, 5, 3], "channels": 8,
+            "max_downsample_channels": 32, "max_groups": 4,
+            "downsample_scales": [2, 2, 1],
+        },
+    )
+    d0, d1, d2 = msd.discriminators
+    assert all(l.spectral_norm and not l.weight_norm for l in d0.layers)
+    assert all(l.weight_norm and not l.spectral_norm for l in d1.layers)
+    assert all(l.weight_norm and not l.spectral_norm for l in d2.layers)
+    p = msd.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 256, 1), jnp.float32)
+    outs = msd(p, x)
+    assert len(outs) == 3
+    # default: the reference's effective plain-conv behavior
+    msd_plain = HiFiGANMultiScaleDiscriminator(
+        scales=2,
+        discriminator_params={
+            "kernel_sizes": [15, 41, 5, 3], "channels": 8,
+            "max_downsample_channels": 32, "max_groups": 4,
+            "downsample_scales": [2, 2, 1],
+        },
+    )
+    assert all(not l.spectral_norm and not l.weight_norm
+               for d in msd_plain.discriminators for l in d.layers)

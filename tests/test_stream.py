@@ -251,3 +251,50 @@ def test_multi_stream_batching(pqc_model, rng):
         outs_single.append(np.asarray(rx1.decode(idx)))
     single = np.concatenate(outs_single, axis=1)
     np.testing.assert_allclose(batched[2:3], single, atol=1e-5)
+
+
+def test_tx_rx_distinct_devices(pqc_model, rng):
+    """tx and rx endpoints pinned to different devices (the reference's
+    tx_device/rx_device API, bin/stream.py:26-35): the int32 code indices
+    cross the device boundary; results equal the same-device codec."""
+    devs = jax.devices()
+    assert len(devs) >= 2, "conftest provides 8 virtual CPU devices"
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+
+    codec2 = AudioCodec(gen, params, vq_state, receptive_length=gen.hop * 8,
+                        tx_device=devs[0], rx_device=devs[1])
+    codec2.load()
+    codec1 = AudioCodec(gen, params, vq_state, receptive_length=gen.hop * 8)
+    codec1.load()
+
+    audio = rng.standard_normal((1, frame * 4, 1)).astype(np.float32) * 0.3
+    for i in range(4):
+        chunk = jnp.asarray(audio[:, i * frame : (i + 1) * frame])
+        idx2 = codec2._encode(chunk)
+        assert list(idx2.devices()) == [devs[0]]  # produced on tx device
+        y2 = codec2._decode(idx2)
+        assert list(y2.devices()) == [devs[1]]  # decoded on rx device
+        y1 = codec1._decode(codec1._encode(chunk))
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+
+
+def test_streamer_distinct_devices_pipeline(plain_model, rng):
+    """Full streamer pipeline across two devices (fused mode is disabled
+    automatically; the two-thread tx/rx pipeline carries the codes over)."""
+    devs = jax.devices()
+    gen, params, _ = plain_model
+    frame = gen.hop * 2
+    streamer = AudioCodecStreamer(
+        gen, params, None, frame_size=frame, sample_rate=4800,
+        max_latency=10.0, receptive_length=gen.hop * 8,
+        tx_device=devs[0], rx_device=devs[1],
+    )
+    assert not streamer.fused
+    streamer.load()
+    audio = rng.standard_normal((1, frame * 6, 1)).astype(np.float32) * 0.3
+    out = streamer.run_array(audio)
+    stats = streamer.stats()
+    assert stats["frames"] == 6
+    assert stats["timing_mode"] == "per-side"
+    assert np.all(np.isfinite(out))
