@@ -11,11 +11,11 @@ Norm behavior faithfully reproduces the reference *as it actually runs*:
   ``apply_spectral_norm`` only match ``Conv2d`` modules, while the layers are
   ``Conv1d`` — so **no norm is applied at all**, regardless of
   ``follow_official_norm`` (documented reference bug, discriminator.py:354-372).
-  We default to the same effective behavior (plain convs); opt into the
-  intended parametrizations via ``discriminator_params``'s
-  ``use_weight_norm``/``use_spectral_norm`` per scale, or
-  ``follow_official_norm=True`` for the official pattern (spectral on the
-  first scale, weight norm on the rest).
+  We default to the same effective behavior (plain convs, and
+  ``follow_official_norm`` stays a config-compat no-op so reference configs
+  behave identically); the intended parametrizations are actually
+  implemented here and reachable via ``discriminator_params``'s
+  ``use_weight_norm``/``use_spectral_norm``.
 - MRSD (UnivNet, Conv2d stack): weight norm applied (discriminator.py:572-580).
 
 Input layout: waveforms are (B, T, 1); the MPD reshapes to
@@ -200,20 +200,18 @@ class HiFiGANMultiScaleDiscriminator:
             **(downsample_pooling_params or {}),
         }
         params = _clean_msd(dict(discriminator_params or {}))
-        # follow_official_norm=True implements the official HiFiGAN intent:
-        # spectral norm on the first scale, weight norm on the rest
-        # (reference discriminator.py:389-401). NOTE the reference's own
-        # application is a silent no-op on its Conv1d layers
-        # (discriminator.py:354-372, documented bug), so default configs run
-        # plain convs there — and here, when the flag is False.
-        self.discriminators = []
-        for i in range(scales):
-            kw = dict(params)
-            if follow_official_norm:
-                kw.pop("use_weight_norm", None)
-                kw.pop("use_spectral_norm", None)
-                kw.update(use_spectral_norm=(i == 0), use_weight_norm=(i != 0))
-            self.discriminators.append(HiFiGANScaleDiscriminator(**kw))
+        # follow_official_norm is accepted for config compatibility but has
+        # NO effect, faithfully matching the reference *as it runs*: its
+        # apply_weight_norm/apply_spectral_norm only match Conv2d while the
+        # layers are Conv1d, so the official pattern (spectral on scale 0,
+        # weight norm on the rest, discriminator.py:389-401) is a silent
+        # no-op (documented bug, discriminator.py:354-372). Every reference
+        # config sets this flag True and trained without norms. To opt into
+        # real parametrizations, set use_weight_norm/use_spectral_norm in
+        # discriminator_params — implemented here, unlike upstream.
+        del follow_official_norm
+        self.discriminators = [HiFiGANScaleDiscriminator(**params)
+                               for _ in range(scales)]
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, len(self.discriminators))

@@ -56,6 +56,11 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
     l_snr = config.get("lambda_snr_loss", 0.0)
     l_adv = config.get("lambda_adv", 1.0)
     l_fm = config.get("lambda_feat_match", 2.0)
+    # reference-compat mode: train_denoise.py:147 feeds the raw *waveform*
+    # to gen_adv instead of the discriminator logits (the documented slip in
+    # the module docstring). Off by default — used by the training-dynamics
+    # parity tests and for bit-faithful reproduction runs.
+    compat_adv = config.get("compat_adv_on_waveform", False)
 
     def _gen_loss(params_g, params_d, x, target, *, use_disc):
         y, *_ = gen(params_g, None, x, train=True)
@@ -66,7 +71,7 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
         if use_disc:
             p_ = disc(params_d, y)
             p = jax.tree_util.tree_map(jax.lax.stop_gradient, disc(params_d, target))
-            adv = l_adv * gen_adv(p_)
+            adv = l_adv * gen_adv(y if compat_adv else p_)
             fm = l_fm * feat_match(p_, p)
             total = total + adv + fm
             frags.update(adv_loss=adv, feat_loss=fm)

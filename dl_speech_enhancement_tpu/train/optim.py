@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -83,4 +84,20 @@ def apply_updates_with_freeze(params, updates, frozen: Sequence[str]):
     for name in frozen:
         if name in params:
             out[name] = params[name]
+    return out
+
+def zero_frozen_grads(grads, frozen: Sequence[str]):
+    """Zero gradients of frozen top-level subtrees BEFORE the optimizer.
+
+    Matches torch ``requires_grad=False`` semantics where frozen params
+    contribute no gradient at all — in particular ``clip_by_global_norm``
+    must measure only the trainable parameters' norm
+    (trainer/trainerGAN.py:271-279 clips over ``parameters()`` of which the
+    frozen ones have ``grad=None``)."""
+    if not frozen:
+        return grads
+    out = dict(grads)
+    for name in frozen:
+        if name in out:
+            out[name] = jax.tree_util.tree_map(jnp.zeros_like, out[name])
     return out

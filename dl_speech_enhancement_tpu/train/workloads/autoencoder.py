@@ -26,7 +26,7 @@ from dl_speech_enhancement_tpu.train.criterion import (
 )
 from dl_speech_enhancement_tpu.train.gan_trainer import TrainerGAN
 from dl_speech_enhancement_tpu.train.optim import (
-    build_optimizer_from_config, apply_updates_with_freeze,
+    build_optimizer_from_config, apply_updates_with_freeze, zero_frozen_grads,
 )
 
 FROZEN_STAGE2 = ("encoder", "projector")
@@ -68,6 +68,7 @@ def make_autoencoder_steps(gen, disc, config, opt_g, opt_d):
             )(state["params_generator"], state["vq_state"],
               state["params_discriminator"], x,
               train_vq=train_vq, use_adv=use_adv)
+            grads = zero_frozen_grads(grads, frozen)
             updates, new_opt = opt_g.update(
                 grads, state["opt_generator"], state["params_generator"]
             )

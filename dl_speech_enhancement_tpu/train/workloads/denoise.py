@@ -16,7 +16,7 @@ from dl_speech_enhancement_tpu.train.criterion import (
 )
 from dl_speech_enhancement_tpu.train.gan_trainer import TrainerGAN
 from dl_speech_enhancement_tpu.train.optim import (
-    build_optimizer_from_config, apply_updates_with_freeze,
+    build_optimizer_from_config, apply_updates_with_freeze, zero_frozen_grads,
 )
 
 FROZEN = ("decoder",)  # quantizer state is separate; EMA off => frozen
@@ -39,6 +39,7 @@ def make_denoise_steps(gen, config, opt_g):
         (loss, (frags, ppl)), grads = jax.value_and_grad(_loss, has_aux=True)(
             state["params_generator"], state["vq_state"], x_n, x_c
         )
+        grads = zero_frozen_grads(grads, FROZEN)
         updates, new_opt = opt_g.update(
             grads, state["opt_generator"], state["params_generator"]
         )

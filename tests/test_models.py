@@ -351,37 +351,39 @@ def test_prime_rounds_receptive_up_to_hop():
     assert np.all(np.isfinite(np.asarray(y)))
 
 
-def test_msd_follow_official_norm_wiring():
-    """follow_official_norm=True: spectral norm on scale 0, weight norm on
-    the rest (official HiFiGAN pattern, reference discriminator.py:389-401)."""
+def test_msd_norm_flags_wiring():
+    """follow_official_norm stays a config-compat no-op (the reference's own
+    application is a silent no-op on Conv1d — every reference config trained
+    without norms); use_spectral_norm/use_weight_norm in discriminator_params
+    apply REAL parametrizations, unlike upstream."""
     from dl_speech_enhancement_tpu.models.discriminator import (
         HiFiGANMultiScaleDiscriminator,
     )
 
+    base = {
+        "kernel_sizes": [15, 41, 5, 3], "channels": 8,
+        "max_downsample_channels": 32, "max_groups": 4,
+        "downsample_scales": [2, 2, 1],
+    }
+    # reference-config behavior: flag on, still plain convs
     msd = HiFiGANMultiScaleDiscriminator(
-        scales=3, follow_official_norm=True,
-        discriminator_params={
-            "kernel_sizes": [15, 41, 5, 3], "channels": 8,
-            "max_downsample_channels": 32, "max_groups": 4,
-            "downsample_scales": [2, 2, 1],
-        },
-    )
-    d0, d1, d2 = msd.discriminators
-    assert all(l.spectral_norm and not l.weight_norm for l in d0.layers)
-    assert all(l.weight_norm and not l.spectral_norm for l in d1.layers)
-    assert all(l.weight_norm and not l.spectral_norm for l in d2.layers)
-    p = msd.init(jax.random.PRNGKey(0))
-    x = jnp.zeros((1, 256, 1), jnp.float32)
-    outs = msd(p, x)
-    assert len(outs) == 3
-    # default: the reference's effective plain-conv behavior
-    msd_plain = HiFiGANMultiScaleDiscriminator(
-        scales=2,
-        discriminator_params={
-            "kernel_sizes": [15, 41, 5, 3], "channels": 8,
-            "max_downsample_channels": 32, "max_groups": 4,
-            "downsample_scales": [2, 2, 1],
-        },
-    )
+        scales=2, follow_official_norm=True, discriminator_params=base)
     assert all(not l.spectral_norm and not l.weight_norm
-               for d in msd_plain.discriminators for l in d.layers)
+               for d in msd.discriminators for l in d.layers)
+    # real spectral norm, opt-in
+    msd_sn = HiFiGANMultiScaleDiscriminator(
+        scales=2,
+        discriminator_params={**base, "use_spectral_norm": True})
+    assert all(l.spectral_norm and not l.weight_norm
+               for d in msd_sn.discriminators for l in d.layers)
+    p = msd_sn.init(jax.random.PRNGKey(0))
+    assert "u" in p["discriminators"][0]["layers"][0]
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 256, 1)).astype(np.float32))
+    outs = msd_sn(p, x)
+    assert len(outs) == 2 and np.all(np.isfinite(np.asarray(outs[0][-1])))
+    # real weight norm, opt-in
+    msd_wn = HiFiGANMultiScaleDiscriminator(
+        scales=2, discriminator_params={**base, "use_weight_norm": True})
+    assert all(l.weight_norm and not l.spectral_norm
+               for d in msd_wn.discriminators for l in d.layers)
