@@ -1,0 +1,555 @@
+"""Whole-stack fused Pallas streaming kernels (the "mega kernel").
+
+:func:`make_mega_stream` compiles the ENTIRE without-PQC denoiser — input
+conv, every residual chain, every strided downsample, every transposed
+upsample, output conv — into exactly TWO Pallas kernels (one encoder, one
+decoder), each with ``grid=(n_frames,)``:
+
+- **Weights are loaded into VMEM once per dispatch** (constant block index
+  maps — Mosaic elides the re-fetch between grid steps) and amortized over
+  every frame in the scan. The per-frame ``make_fused_chunk_step`` path
+  re-streams all ~30 MB of weights from HBM every frame, which is its
+  measured bottleneck; here per-frame HBM traffic is just the raw audio in
+  and out plus the tiny (frames, T/hop, 512) feature hand-off between the
+  two kernels.
+- **Streaming caches live in VMEM scratch** that persists across grid
+  steps (TPU grids are sequential), seeded from small HBM cache arrays at
+  step 0 and drained back every step, so the returned cache continues an
+  ongoing stream across dispatches exactly like ``gen.init_cache`` does for
+  the XLA path.
+- **Boundary convs never leave VMEM.** Strided downsamples are evaluated
+  as phase-decomposed tap matmuls — phases are gathered with a 0/1 banded
+  selection matrix on the MXU (Mosaic has no strided vector slice; a
+  selection matmul costs <1 us and keeps everything resident). Transposed
+  upsamples are per-phase matmuls re-interleaved with a shared replication
+  matrix and an iota phase mask. The first encoder level and last decoder
+  level instead run **time-folded by the boundary stride** (fold * C
+  lanes), which makes the stride-3 boundary convs plain 2-3-tap matmuls
+  and fixes the 32-channel chains' lane utilisation.
+
+Math notes (all host-assembled, zero-filled for out-of-range taps):
+
+- causal conv, stride s, k = 2s:  ``y[t] = sum_j x_ext[s*t + j] @ W[j]``
+  with ``x_ext = [cache(2s-1); x]`` (nn/conv.py::CausalConv1d.step).
+  Phase split ``j = o*s + p``: ``y[t] = sum_p sum_{o in 0,1}
+  g_p[t+o] @ W[o*s+p]`` where ``g_p[t] = x_ext[s*t + p]``.
+- causal transposed conv, k = 2s, conv-ready kernel Wc and cpad = k-1-s
+  (nn/conv.py::CausalConvTranspose1d): ``y[s*r+p] = x_ext[r] @ Wc[cpad-p]
+  + x_ext[r+1] @ Wc[cpad+s-p]`` with ``x_ext = [cache(1); x]``.
+- folded layouts pack ``fold`` consecutive samples into one row of
+  ``fold*C`` lanes; residual-chain block matrices follow
+  ops/stream_kernel.py::fused_residual_chain_folded (fold must divide the
+  per-unit pad 6*d, i.e. fold in {1, 2, 3, 6} — every AudioDec config's
+  boundary strides at these levels are 3).
+
+Weights default to bfloat16 (halves the one-time VMEM residency and load;
+activations and accumulation stay f32). The reference model family this
+covers: models/autoencoder_without_PQC/AudioDec.py:95-100 (full
+encode->decode chain), streamed as bin/stream.py does frame-by-frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _elu(x):
+    # expm1 has no Mosaic lowering; exp(x)-1 is fine in f32 for x <= 0
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _ceil_div(a, b):
+    return -(-a // b)
+
+
+class _Bag:
+    """Ordered name -> array registry for kernel operands."""
+
+    def __init__(self):
+        self.names = []
+        self.arrays = []
+
+    def add(self, name, arr):
+        assert name not in self.names, name
+        self.names.append(name)
+        self.arrays.append(jnp.asarray(arr))
+
+    def index(self, name):
+        return self.names.index(name)
+
+
+def _unit_weights(unit, p):
+    w1 = np.asarray(unit.conv1.weight(p["conv1"]))  # (7, C, C)
+    w2 = np.asarray(unit.conv2.weight(p["conv2"]))[0]  # (C, C)
+    return w1, w2
+
+
+def _folded_unit_mats(unit, p, fold):
+    """Block matrices for one folded residual unit (see
+    stream_kernel.fused_residual_chain_folded.assemble)."""
+    w1, w2 = _unit_weights(unit, p)
+    k, c, _ = w1.shape
+    d = unit.conv1.dilation
+    pad = (k - 1) * d
+    assert pad % fold == 0, (fold, pad)
+    pad_rows = pad // fold
+    fc = fold * c
+    m1 = np.zeros((pad_rows + 1, fc, fc), np.float32)
+    for j in range(k):
+        for pp in range(fold):
+            o, b = divmod(pp + j * d, fold)
+            m1[o, b * c : (b + 1) * c, pp * c : (pp + 1) * c] = w1[j]
+    m2 = np.zeros((fc, fc), np.float32)
+    for b in range(fold):
+        m2[b * c : (b + 1) * c, b * c : (b + 1) * c] = w2
+    return m1, m2, pad_rows
+
+
+def _sel_matrix(t_out, stride):
+    """(t_out+1, stride*t_out+1) banded 0/1 gather: row i selects s*i."""
+    d = np.zeros((t_out + 1, stride * t_out + 1), np.float32)
+    d[np.arange(t_out + 1), stride * np.arange(t_out + 1)] = 1.0
+    return d
+
+
+def _rep_matrix(t_in, stride):
+    """(s*t_in, t_in) 0/1 replication: row r selects r // s."""
+    u = np.zeros((stride * t_in, t_in), np.float32)
+    u[np.arange(stride * t_in), np.arange(stride * t_in) // stride] = 1.0
+    return u
+
+
+def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """Whole-model streaming scan for the without-PQC denoiser.
+
+    Returns ``(init_cache, run)`` with ``init_cache() -> cache dict`` and
+    ``run(cache, frames (N, chunk)) -> (out (N, chunk), new_cache)``.
+    Semantics per frame match ``gen.encode_step`` + ``gen.decode_step``
+    from zero caches (tested in tests/test_mega_kernel.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert not gen.use_pqc, "mega kernel covers the without-PQC denoiser"
+    assert gen.mode == "causal"
+    assert gen.input_channels == 1
+    assert chunk % gen.hop == 0 and chunk > 0
+    wd = weight_dtype
+
+    enc = gen.encoder
+    dec = gen.decoder
+    enc_p = params["encoder"]
+    dec_p = params["decoder"]
+
+    # ---------------- encoder build ----------------
+    fold = enc.blocks[0].conv.stride
+    assert 6 % fold == 0, f"first encoder stride {fold} must divide 6"
+    for blk in enc.blocks:
+        assert blk.conv.kernel_size == 2 * blk.conv.stride
+        for u in blk.res_units:
+            assert u.conv1.kernel_size == 7
+    rows0 = chunk // fold
+
+    econsts = _Bag()
+    ecaches = []  # (name, (ctx, lanes))
+    escratch = []  # (name, (rows, lanes))
+
+    def ecache(name, ctx, lanes, t_rows):
+        ecaches.append((name, (ctx, lanes)))
+        escratch.append((name, (ctx + t_rows, lanes)))
+        return ctx
+
+    # input conv (k=7, 1 -> C0), folded output
+    w_in = np.asarray(enc.conv.weight(enc_p["conv"]))  # (7, 1, C0)
+    c0 = w_in.shape[2]
+    ctx_in = _ceil_div(6, fold)
+    extra_in = ctx_in * fold - 6
+    a_in = np.zeros((ctx_in + 1, fold, fold * c0), np.float32)
+    for o in range(ctx_in + 1):
+        for p in range(fold):
+            for q in range(fold):
+                j = fold * o + p - q - extra_in
+                if 0 <= j <= 6:
+                    a_in[o, p, q * c0 : (q + 1) * c0] = w_in[j, 0]
+    econsts.add("in_A", a_in.astype(wd))
+    ecache("cin", ctx_in, fold, rows0)
+
+    # per-block: residual chain + downsample
+    enc_plan = []  # list of dicts with static info per block
+    t_rows = rows0  # current folded rows (level 0) / plain rows (level >0)
+    for bi, blk in enumerate(enc.blocks):
+        bp = enc_p["blocks"][bi]
+        s = blk.conv.stride
+        cin_ch = blk.conv.in_channels
+        cout_ch = blk.conv.out_channels
+        wdn = np.asarray(blk.conv.weight(bp["conv"]))  # (2s, cin, cout)
+        bdn = np.asarray(bp["conv"].get("b", np.zeros(cout_ch)))
+        info = {"bi": bi, "stride": s, "folded": bi == 0}
+        if bi == 0:
+            fc = fold * cin_ch
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                m1, m2, pad_rows = _folded_unit_mats(u, bp["res"][ui], fold)
+                econsts.add(f"e0u{ui}m1", m1.astype(wd))
+                econsts.add(f"e0u{ui}m2", m2.astype(wd))
+                units.append((f"e0u{ui}m1", f"e0u{ui}m2", pad_rows))
+            info["units"] = units
+            chain_ctx = sum(pr for _, _, pr in units)
+            ecache("e0ch", chain_ctx, fc, t_rows)
+            info["chain_ctx"] = chain_ctx
+            # folded downsample: cache 2 rows (= 2*fold >= 2s-1 samples)
+            assert s == fold
+            b_dn = np.zeros((3, fc, cout_ch), np.float32)
+            for o in range(3):
+                for p in range(fold):
+                    j = fold * o + p - 1
+                    if 0 <= j < 2 * s:
+                        b_dn[o, p * cin_ch : (p + 1) * cin_ch] = wdn[j]
+            econsts.add("e0dB", b_dn.astype(wd))
+            econsts.add("e0db", bdn.reshape(1, -1).astype(np.float32))
+            ecache("e0d", 2, fc, t_rows)
+            t_out = t_rows  # one output per folded row
+        else:
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                w1, w2 = _unit_weights(u, bp["res"][ui])
+                econsts.add(f"e{bi}u{ui}w1", w1.astype(wd))
+                econsts.add(f"e{bi}u{ui}w2", w2.astype(wd))
+                units.append((f"e{bi}u{ui}w1", f"e{bi}u{ui}w2",
+                              u.conv1.dilation))
+            info["units"] = units
+            chain_ctx = sum(6 * d for _, _, d in units)
+            ecache(f"e{bi}ch", chain_ctx, cin_ch, t_rows)
+            info["chain_ctx"] = chain_ctx
+            t_out = t_rows // s
+            econsts.add(f"e{bi}dW", wdn.astype(wd))
+            econsts.add(f"e{bi}db", bdn.reshape(1, -1).astype(np.float32))
+            econsts.add(f"e{bi}D", _sel_matrix(t_out, s))
+            ecache(f"e{bi}d", 2 * s - 1, cin_ch, t_rows)
+        info["t_in"] = t_rows
+        info["t_out"] = t_out
+        enc_plan.append(info)
+        t_rows = t_out
+    z_rows, z_ch = t_rows, enc.out_channels
+
+    ecache_names = [n for n, _ in ecaches]
+    n_ec, n_ecache = len(econsts.arrays), len(ecaches)
+
+    def enc_kernel(*refs):
+        x_ref = refs[0]
+        cr = refs[1 : 1 + n_ec]
+        ci = refs[1 + n_ec : 1 + n_ec + n_ecache]
+        z_ref = refs[1 + n_ec + n_ecache]
+        co = refs[2 + n_ec + n_ecache : 2 + n_ec + n_ecache + n_ecache]
+        scratch = refs[2 + n_ec + 2 * n_ecache :]
+        C = {n: cr[i] for i, n in enumerate(econsts.names)}
+        S = {n: scratch[i] for i, (n, _) in enumerate(escratch)}
+        CI = {n: ci[i] for i, n in enumerate(ecache_names)}
+        CO = {n: co[i] for i, n in enumerate(ecache_names)}
+        i = pl.program_id(0)
+
+        def site(name, ctx, x_val):
+            buf = S[name]
+
+            @pl.when(i == 0)
+            def _():
+                buf[0:ctx] = CI[name][...]
+
+            buf[ctx:] = x_val
+            v = buf[...]
+            tail = v[v.shape[0] - ctx :]
+            buf[0:ctx] = tail
+            CO[name][...] = tail
+            return v
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        # input conv (folded)
+        v = site("cin", ctx_in, x_ref[0].astype(jnp.float32))
+        vw = v.astype(wd)
+        h = dot(vw[0:rows0], C["in_A"][0])
+        for o in range(1, ctx_in + 1):
+            h += dot(vw[o : o + rows0], C["in_A"][o])
+
+        for info in enc_plan:
+            bi, s = info["bi"], info["stride"]
+            t_in, t_out = info["t_in"], info["t_out"]
+            # residual chain
+            v = site("e0ch" if bi == 0 else f"e{bi}ch",
+                     info["chain_ctx"], h)
+            r = v.shape[0]
+            if info["folded"]:
+                for m1n, m2n, pad_rows in info["units"]:
+                    rn = r - pad_rows
+                    a = _elu(v).astype(wd)
+                    m1 = C[m1n]
+                    acc = dot(a[0:rn], m1[0])
+                    for o in range(1, pad_rows + 1):
+                        acc += dot(a[o : o + rn], m1[o])
+                    y = dot(_elu(acc).astype(wd), C[m2n][...])
+                    v = v[pad_rows:] + y
+                    r = rn
+            else:
+                for w1n, w2n, d in info["units"]:
+                    pad = 6 * d
+                    rn = r - pad
+                    a = _elu(v).astype(wd)
+                    w1 = C[w1n]
+                    acc = dot(a[0:rn], w1[0])
+                    for j in range(1, 7):
+                        acc += dot(a[j * d : j * d + rn], w1[j])
+                    y = dot(_elu(acc).astype(wd), C[w2n][...])
+                    v = v[pad:] + y
+                    r = rn
+            # downsample
+            if info["folded"]:
+                v = site("e0d", 2, v)
+                vw = v.astype(wd)
+                h = dot(vw[0:t_out], C["e0dB"][0])
+                for o in (1, 2):
+                    h += dot(vw[o : o + t_out], C["e0dB"][o])
+                h += C["e0db"][...]
+            else:
+                v = site(f"e{bi}d", 2 * s - 1, v)
+                d_sel = C[f"e{bi}D"][...]
+                w = C[f"e{bi}dW"]
+                h = None
+                for p in range(s):
+                    g = dot(d_sel, v[p : p + s * t_out + 1]).astype(wd)
+                    t = dot(g[0:t_out], w[p]) + dot(g[1 : t_out + 1], w[s + p])
+                    h = t if h is None else h + t
+                h += C[f"e{bi}db"][...]
+        z_ref[0] = h
+
+    # ---------------- decoder build ----------------
+    dconsts = _Bag()
+    dcaches = []
+    dscratch = []
+
+    def dcache(name, ctx, lanes, t_rows):
+        dcaches.append((name, (ctx, lanes)))
+        dscratch.append((name, (ctx + t_rows, lanes)))
+
+    dec_plan = []
+    t_rows = z_rows
+    n_blocks = len(dec.blocks)
+    fold_d = dec.blocks[-1].conv.stride
+    assert 6 % fold_d == 0, f"last decoder stride {fold_d} must divide 6"
+    for bi, blk in enumerate(dec.blocks):
+        bp = dec_p["blocks"][bi]
+        s = blk.conv.stride
+        assert blk.conv.kernel_size == 2 * s
+        cpad = blk.conv.kernel_size - 1 - s
+        cin_ch = blk.conv.in_channels
+        cout_ch = blk.conv.out_channels
+        wup = np.asarray(blk.conv.weight(bp["conv"]))  # (2s, cin, cout)
+        bup = np.asarray(bp["conv"].get("b", np.zeros(cout_ch)))
+        last = bi == n_blocks - 1
+        info = {"bi": bi, "stride": s, "cpad": cpad, "last": last,
+                "t_in": t_rows}
+        dcache(f"d{bi}u", 1, cin_ch, t_rows)
+        if last:
+            # folded-emit upsample: 2 matmuls into fold_d * C_out lanes
+            fc = fold_d * cout_ch
+            m0 = np.concatenate([wup[cpad - p] for p in range(s)], axis=1)
+            m1 = np.concatenate([wup[cpad + s - p] for p in range(s)], axis=1)
+            dconsts.add("duM0", m0.astype(wd))
+            dconsts.add("duM1", m1.astype(wd))
+            dconsts.add("dub", np.tile(bup, fold_d).reshape(1, -1)
+                        .astype(np.float32))
+            t_out = t_rows  # folded rows
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                m1u, m2u, pad_rows = _folded_unit_mats(u, bp["res"][ui],
+                                                       fold_d)
+                dconsts.add(f"d{bi}u{ui}m1", m1u.astype(wd))
+                dconsts.add(f"d{bi}u{ui}m2", m2u.astype(wd))
+                units.append((f"d{bi}u{ui}m1", f"d{bi}u{ui}m2", pad_rows))
+            info["units"] = units
+            chain_ctx = sum(pr for _, _, pr in units)
+            dcache(f"d{bi}ch", chain_ctx, fc, t_out)
+        else:
+            dconsts.add(f"d{bi}uW", wup.astype(wd))
+            dconsts.add(f"d{bi}ub", bup.reshape(1, -1).astype(np.float32))
+            dconsts.add(f"d{bi}U", _rep_matrix(t_rows, s))
+            t_out = t_rows * s
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                w1, w2 = _unit_weights(u, bp["res"][ui])
+                dconsts.add(f"d{bi}u{ui}w1", w1.astype(wd))
+                dconsts.add(f"d{bi}u{ui}w2", w2.astype(wd))
+                units.append((f"d{bi}u{ui}w1", f"d{bi}u{ui}w2",
+                              u.conv1.dilation))
+            info["units"] = units
+            chain_ctx = sum(6 * d for _, _, d in units)
+            dcache(f"d{bi}ch", chain_ctx, cout_ch, t_out)
+        info["chain_ctx"] = chain_ctx
+        info["t_out"] = t_out
+        dec_plan.append(info)
+        t_rows = t_out
+
+    # output conv (k=7, C -> 1), folded
+    w_out = np.asarray(dec.conv2.weight(dec_p["conv2"]))  # (7, C, 1)
+    c_last = w_out.shape[1]
+    ctx_out = _ceil_div(6, fold_d)
+    extra_out = ctx_out * fold_d - 6
+    o_out = np.zeros((ctx_out + 1, fold_d * c_last, fold_d), np.float32)
+    for o in range(ctx_out + 1):
+        for p in range(fold_d):
+            for q in range(fold_d):
+                j = fold_d * o + p - q - extra_out
+                if 0 <= j <= 6:
+                    o_out[o, p * c_last : (p + 1) * c_last, q] = w_out[j, :, 0]
+    dconsts.add("outO", o_out.astype(wd))
+    out_rows = t_rows  # folded rows of the final chain
+    dcache("cout", ctx_out, fold_d * c_last, out_rows)
+
+    dcache_names = [n for n, _ in dcaches]
+    n_dc, n_dcache = len(dconsts.arrays), len(dcaches)
+
+    def dec_kernel(*refs):
+        z_ref = refs[0]
+        cr = refs[1 : 1 + n_dc]
+        ci = refs[1 + n_dc : 1 + n_dc + n_dcache]
+        y_ref = refs[1 + n_dc + n_dcache]
+        co = refs[2 + n_dc + n_dcache : 2 + n_dc + n_dcache + n_dcache]
+        scratch = refs[2 + n_dc + 2 * n_dcache :]
+        C = {n: cr[i] for i, n in enumerate(dconsts.names)}
+        S = {n: scratch[i] for i, (n, _) in enumerate(dscratch)}
+        CI = {n: ci[i] for i, n in enumerate(dcache_names)}
+        CO = {n: co[i] for i, n in enumerate(dcache_names)}
+        i = pl.program_id(0)
+
+        def site(name, ctx, x_val):
+            buf = S[name]
+
+            @pl.when(i == 0)
+            def _():
+                buf[0:ctx] = CI[name][...]
+
+            buf[ctx:] = x_val
+            v = buf[...]
+            tail = v[v.shape[0] - ctx :]
+            buf[0:ctx] = tail
+            CO[name][...] = tail
+            return v
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        h = z_ref[0].astype(jnp.float32)
+        for info in dec_plan:
+            bi, s, cpad = info["bi"], info["stride"], info["cpad"]
+            t_in, t_out = info["t_in"], info["t_out"]
+            v = site(f"d{bi}u", 1, h)
+            vw = v.astype(wd)
+            if info["last"]:
+                h = (dot(vw[0:t_in], C["duM0"][...])
+                     + dot(vw[1 : t_in + 1], C["duM1"][...])
+                     + C["dub"][...])
+            else:
+                w = C[f"d{bi}uW"]
+                urep = C[f"d{bi}U"][...]
+                h = None
+                for p in range(s):
+                    yp = (dot(vw[0:t_in], w[cpad - p])
+                          + dot(vw[1 : t_in + 1], w[cpad + s - p]))
+                    rp = dot(urep, yp)
+                    mask = (lax.broadcasted_iota(jnp.int32, (t_out, 1), 0)
+                            % s) == p
+                    t = jnp.where(mask, rp, 0.0)
+                    h = t if h is None else h + t
+                h += C[f"d{bi}ub"][...]
+            # residual chain
+            v = site(f"d{bi}ch", info["chain_ctx"], h)
+            r = v.shape[0]
+            if info["last"]:
+                for m1n, m2n, pad_rows in info["units"]:
+                    rn = r - pad_rows
+                    a = _elu(v).astype(wd)
+                    m1 = C[m1n]
+                    acc = dot(a[0:rn], m1[0])
+                    for o in range(1, pad_rows + 1):
+                        acc += dot(a[o : o + rn], m1[o])
+                    y = dot(_elu(acc).astype(wd), C[m2n][...])
+                    v = v[pad_rows:] + y
+                    r = rn
+            else:
+                for w1n, w2n, d in info["units"]:
+                    pad = 6 * d
+                    rn = r - pad
+                    a = _elu(v).astype(wd)
+                    w1 = C[w1n]
+                    acc = dot(a[0:rn], w1[0])
+                    for j in range(1, 7):
+                        acc += dot(a[j * d : j * d + rn], w1[j])
+                    y = dot(_elu(acc).astype(wd), C[w2n][...])
+                    v = v[pad:] + y
+                    r = rn
+            h = v
+
+        # output conv (folded)
+        v = site("cout", ctx_out, h)
+        vw = v.astype(wd)
+        y = dot(vw[0:out_rows], C["outO"][0])
+        for o in range(1, ctx_out + 1):
+            y += dot(vw[o : o + out_rows], C["outO"][o])
+        y_ref[0] = y
+
+    # ---------------- wrappers ----------------
+    def init_cache():
+        cache = {}
+        for name, (ctx, lanes) in ecaches + dcaches:
+            cache[name] = jnp.zeros((ctx, lanes), jnp.float32)
+        return cache
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(cache, frames):
+        n, t = frames.shape
+        assert t == chunk, (t, chunk)
+        xf = frames.reshape(n, rows0, fold)
+        enc_out = pl.pallas_call(
+            enc_kernel,
+            grid=(n,),
+            in_specs=([pl.BlockSpec((1, rows0, fold), lambda i: (i, 0, 0))]
+                      + [vmem] * (n_ec + n_ecache)),
+            out_specs=([pl.BlockSpec((1, z_rows, z_ch), lambda i: (i, 0, 0))]
+                       + [vmem] * n_ecache),
+            out_shape=([jax.ShapeDtypeStruct((n, z_rows, z_ch), jnp.float32)]
+                       + [jax.ShapeDtypeStruct(shape, jnp.float32)
+                          for _, shape in ecaches]),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                            for _, shape in escratch],
+            interpret=interpret,
+        )(xf, *econsts.arrays, *[cache[nm] for nm in ecache_names])
+        z, *enc_new = enc_out
+        dec_out = pl.pallas_call(
+            dec_kernel,
+            grid=(n,),
+            in_specs=([pl.BlockSpec((1, z_rows, z_ch), lambda i: (i, 0, 0))]
+                      + [vmem] * (n_dc + n_dcache)),
+            out_specs=([pl.BlockSpec((1, out_rows, fold_d),
+                                     lambda i: (i, 0, 0))]
+                       + [vmem] * n_dcache),
+            out_shape=([jax.ShapeDtypeStruct((n, out_rows, fold_d),
+                                             jnp.float32)]
+                       + [jax.ShapeDtypeStruct(shape, jnp.float32)
+                          for _, shape in dcaches]),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                            for _, shape in dscratch],
+            interpret=interpret,
+        )(z, *dconsts.arrays, *[cache[nm] for nm in dcache_names])
+        yf, *dec_new = dec_out
+        out = yf.reshape(n, t)
+        new_cache = dict(zip(ecache_names, enc_new))
+        new_cache.update(dict(zip(dcache_names, dec_new)))
+        return out, new_cache
+
+    return init_cache, run
