@@ -3,16 +3,33 @@
 
 Runs the flagship without-PQC streaming denoiser (the reference's proposed
 model, 48 kHz / hop 300) over 25 ms frames with the full encode->decode
-chain and a carried cache pytree — the exact chunked-streaming semantics of
-the runtime — as a ``lax.scan`` over N frames in ONE device dispatch, so the
-measurement reflects chip throughput rather than the host<->device tunnel
-round-trip of this environment (a production deployment drives the chip
-locally). Completion is serialized by fetching a scalar reduction of the
-output (``block_until_ready`` is not a reliable fence on the tunneled
-backend).
+chain and carried streaming caches — the exact chunked-streaming semantics
+of the runtime — scanning N frames per device dispatch so the measurement
+reflects chip throughput rather than the host<->device tunnel round-trip of
+this environment (a production deployment drives the chip locally).
+Completion is serialized by fetching a scalar reduction of the output
+(``block_until_ready`` is not a reliable fence on the tunneled backend).
 
-Baseline: the reference's live demo sustains ~1.0x real time on a laptop CPU
-(25 ms windows; encode 21.57 ms + decode 24.83 ms overlapped across two
+Two single-stream paths are timed and the faster wins the headline:
+
+- **XLA**: ``lax.scan`` over the per-frame ``encode_step``/``decode_step``.
+- **mega** (ops/mega_kernel.py): the whole encoder and decoder each as ONE
+  Pallas kernel with ``grid=(n_frames,)`` — weights resident in VMEM for
+  the whole dispatch, caches in VMEM scratch across frames.
+
+Methodology: per-frame device time comes from a **two-point fit** (time a
+long scan and a short scan, take the slope) so the ~30 ms tunnel RTT of the
+scalar-fetch fence cancels. The fit is repeated ``N_FITS`` times and the
+median is reported with its spread — single fits were seen to wobble ~20%
+run-to-run (VERDICT round 1), medians agree within a few percent.
+
+Roofline context in ``detail``: model FLOPs/frame (utils/profiling.py::
+codec_flops_per_sample), achieved TFLOP/s, MFU vs the v5e bf16 peak
+(394 TFLOP/s), and the mega path's HBM bytes/frame (cache spill + audio
+I/O + feature hand-off + amortized weights).
+
+Baseline: the reference's live demo sustains ~1.0x real time on a laptop
+CPU (25 ms windows; encode 21.57 ms + decode 24.83 ms overlapped across two
 threads — DeepLearning_Poster.pdf Table 2). ``vs_baseline`` is the
 single-stream x-real-time number. The driver's north star is >50x.
 
@@ -24,12 +41,36 @@ import time
 
 import numpy as np
 
+N_FITS = 5
+V5E_PEAK_FLOPS = 394e12  # bf16 MXU peak, TPU v5e
+
+
+def median_spread(xs):
+    med = float(np.median(xs))
+    spread = float((np.max(xs) - np.min(xs)) / med * 100.0) if med else 0.0
+    return med, spread
+
 
 def main():
+    import os
     import jax
+
+    # persist compiled executables across runs: makes repeated bench runs
+    # start measuring in seconds instead of minutes, and removes compile
+    # noise from the driver's capture
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".cache", "jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from jax import lax
     from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
+    from dl_speech_enhancement_tpu.utils.profiling import codec_flops_per_sample
 
     sample_rate = 48000
     frame_size = 1200  # 25 ms @ 48 kHz, 4 code frames at hop 300
@@ -37,9 +78,10 @@ def main():
 
     gen = AudioDecGenerator(use_pqc=False)
     params, _ = gen.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
 
+    # ---- XLA path: scan over the per-frame streaming steps ----
     def chunk_step(cache, x):
-        """Full tx+rx chain for one frame: encode -> (features) -> decode."""
         z, enc_cache = gen.encode_step(params, cache, x)
         y, dec_cache = gen.decode_step(params, cache, z)
         new_cache = dict(cache)
@@ -52,35 +94,35 @@ def main():
         cache, energies = lax.scan(chunk_step, cache, frames)
         return jnp.sum(energies)
 
-    # single-stream fast path: hand-fused Pallas residual chains
-    from dl_speech_enhancement_tpu.ops.stream_kernel import make_fused_chunk_step
-    fused_init_cache, fused_step = make_fused_chunk_step(gen, params)
-
-    def fused_chunk(cache, x):
-        y, new_cache = fused_step(cache, x[0])
-        return new_cache, jnp.sum(jnp.square(y))
+    # ---- mega path: whole-stack Pallas kernels, frames (N, frame_size) ----
+    mega_init_cache, mega_run = make_mega_stream(gen, params, chunk=frame_size)
 
     @jax.jit
-    def run_stream_fused(cache, frames):
-        cache, energies = lax.scan(fused_chunk, cache, frames)
-        return jnp.sum(energies)
+    def run_stream_mega(cache, frames):
+        out, _ = mega_run(cache, frames)
+        return jnp.sum(jnp.square(out))
 
-    rng = np.random.default_rng(0)
-
-    def measure(batch, trials=3, fused=False):
-        """Per-frame device time via a two-point fit: the scalar-fetch fence
-        costs one host<->device round trip (~30 ms through this
-        environment's tunnel), so time scans of two lengths and take the
-        slope — the RTT intercept cancels."""
-        n1, n2 = n_frames // 4, n_frames
-
-        run = run_stream_fused if fused else run_stream
+    def fit_once(batch, mode, trials=3):
+        """One two-point fit: the scalar-fetch fence costs one host<->device
+        round trip (~30 ms through this environment's tunnel), so time scans
+        of two lengths and take the slope — the RTT intercept cancels. The
+        mega path is ~3x faster per frame, so its scans are 4x longer to
+        keep the slope well above the fence jitter."""
+        n_hi = n_frames * 4 if mode == "mega" else n_frames
+        n1, n2 = n_hi // 4, n_hi
 
         def timed(n):
-            cache = fused_init_cache() if fused else gen.init_cache(batch)
-            frames = jax.device_put(
-                rng.standard_normal((n, batch, frame_size, 1)).astype(np.float32)
-            )
+            if mode == "mega":
+                cache = mega_init_cache()
+                frames = jax.device_put(
+                    rng.standard_normal((n, frame_size)).astype(np.float32))
+                run = run_stream_mega
+            else:
+                cache = gen.init_cache(batch)
+                frames = jax.device_put(
+                    rng.standard_normal((n, batch, frame_size, 1))
+                    .astype(np.float32))
+                run = run_stream
             _ = float(run(cache, frames))  # compile + settle
             best = float("inf")
             for _ in range(trials):
@@ -91,20 +133,42 @@ def main():
 
         return (timed(n2) - timed(n1)) / (n2 - n1)
 
+    def measure(batch, mode="xla"):
+        fits = [fit_once(batch, mode) for _ in range(N_FITS)]
+        return median_spread(fits)
+
     frame_time = frame_size / sample_rate
-    t_single_xla = measure(1)
-    t_single = min(t_single_xla, measure(1, fused=True))
+    t_xla, spread_xla = measure(1, "xla")
+    t_mega, spread_mega = measure(1, "mega")
+    t_single = min(t_xla, t_mega)
     x_rt_single = frame_time / t_single
 
+    # roofline accounting
+    flops_frame = codec_flops_per_sample(gen) * frame_size
+    tflops = flops_frame / t_single / 1e12
+    mfu_pct = 100.0 * flops_frame / t_single / V5E_PEAK_FLOPS
+    cache_bytes = sum(int(np.prod(v.shape)) * 4
+                      for v in mega_init_cache().values())
+    n_params = sum(int(np.prod(np.asarray(l).shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    z_bytes = (frame_size // gen.hop) * gen.encoder.out_channels * 4
+    hbm_frame = (2 * frame_size * 4      # audio in + out (f32)
+                 + 2 * z_bytes           # feature hand-off write + read
+                 + cache_bytes           # cache drain (write every frame)
+                 + 2 * n_params / (n_frames * 4))  # bf16 weights / dispatch
+    hbm_gb_s = hbm_frame / t_single / 1e9
+
+    # multi-stream batching (XLA path; streams/chip metric)
     streams = 16
-    t_batch = measure(streams)
+    t_batch, spread_batch = measure(streams, "xla")
     x_rt_per_stream = frame_time / t_batch
     realtime_streams = x_rt_per_stream * streams
 
     # single-dispatch end-to-end latency (incl. host round trip): one frame
-    single = jax.jit(lambda c, x: chunk_step(c, x))
+    single = jax.jit(chunk_step)
     cache = gen.init_cache(1)
-    frame = jax.device_put(rng.standard_normal((1, frame_size, 1)).astype(np.float32))
+    frame = jax.device_put(
+        rng.standard_normal((1, frame_size, 1)).astype(np.float32))
     _, e = single(cache, frame)
     _ = float(e)
     lats = []
@@ -135,7 +199,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_off = (offline_scan(8) - offline_scan(2)) / 6
+    off_fits = [(offline_scan(8) - offline_scan(2)) / 6 for _ in range(3)]
+    t_off, _ = median_spread(off_fits)
     offline_x_rt = (16 * 2.0) / t_off
 
     result = {
@@ -144,10 +209,19 @@ def main():
         "unit": "x_realtime_per_stream",
         "vs_baseline": round(x_rt_single / 1.0, 2),
         "detail": {
-            "frame_ms_device": round(t_single * 1e3, 3),
-            "frame_ms_device_xla": round(t_single_xla * 1e3, 3),
+            "frame_us_mega": round(t_mega * 1e6, 2),
+            "frame_us_mega_spread_pct": round(spread_mega, 1),
+            "frame_us_xla": round(t_xla * 1e6, 2),
+            "frame_us_xla_spread_pct": round(spread_xla, 1),
+            "n_fits": N_FITS,
             "frame_size": frame_size,
+            "flops_per_frame": int(flops_frame),
+            "achieved_tflops": round(tflops, 2),
+            "mfu_pct_v5e_bf16": round(mfu_pct, 2),
+            "hbm_bytes_per_frame": int(hbm_frame),
+            "hbm_gb_s": round(hbm_gb_s, 2),
             "streams_16_frame_ms": round(t_batch * 1e3, 3),
+            "streams_16_spread_pct": round(spread_batch, 1),
             "realtime_streams_per_chip_at_16": round(realtime_streams, 1),
             "offline_denoise_x_realtime": round(offline_x_rt, 1),
             "single_dispatch_latency_ms": round(dispatch_latency_ms, 2),

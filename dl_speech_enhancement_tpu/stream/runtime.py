@@ -173,7 +173,8 @@ class VocoderReceiver:
 
 
 def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
-                     backend: str = "auto"):
+                     backend: str = "auto", frame_size: int | None = None,
+                     interpret: bool = False):
     """On-device multi-frame streaming: ``f(cache, frames (N, B, F, C)) ->
     (audio (N, B, F', C), cache)`` as one jitted ``lax.scan`` dispatch.
 
@@ -181,18 +182,42 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     runtime) but amortizes host<->device round trips over N frames — use for
     offline evaluation with streaming semantics and for RTF measurement.
 
-    ``backend='pallas'`` (or 'auto' on TPU) uses the hand-fused residual-
-    chain kernels (ops/stream_kernel.py) for the without-PQC single-stream
-    case — ~1.7x faster per frame on v5e (44 vs 77 us); other cases fall
-    back to the XLA step.
+    ``backend='pallas'`` (or 'auto' on TPU) uses hand-fused kernels for the
+    without-PQC single-stream case; other cases fall back to the XLA step.
+    When ``frame_size`` is given (the kernel needs the static chunk length
+    at assembly time) the whole-stack mega kernel (ops/mega_kernel.py) runs
+    the encoder and decoder as ONE Pallas kernel each with weights resident
+    in VMEM across frames — ~24 us/frame on v5e vs 77 us XLA (~3.3x);
+    without it, the per-frame fused residual-chain kernels
+    (ops/stream_kernel.py) still give ~1.2-1.7x over XLA.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     if backend == "pallas" and not gen.use_pqc and batch == 1:
+        if frame_size is not None:
+            try:
+                from dl_speech_enhancement_tpu.ops.mega_kernel import (
+                    make_mega_stream,
+                )
+                init_mega, mega_run = make_mega_stream(
+                    gen, jax.device_put(params), chunk=frame_size,
+                    interpret=interpret,
+                )
+            except AssertionError:  # topology the kernel doesn't cover
+                init_mega = None
+            if init_mega is not None:
+                @jax.jit
+                def run_mega(cache, frames):
+                    out, new_cache = mega_run(cache, frames[:, 0, :, 0])
+                    return out[:, None, :, None], new_cache
+
+                run_mega.init_cache = init_mega
+                return run_mega
         from dl_speech_enhancement_tpu.ops.stream_kernel import (
             make_fused_chunk_step,
         )
-        init_fused, fstep = make_fused_chunk_step(gen, jax.device_put(params))
+        init_fused, fstep = make_fused_chunk_step(gen, jax.device_put(params),
+                                           interpret=interpret)
 
         def step_fused(cache, frame):
             y, new_cache = fstep(cache, frame[0])

@@ -165,6 +165,52 @@ def test_vocoder_receiver_streaming(pqc_model, rng):
     assert np.all(np.isfinite(np.concatenate(outs, axis=1)))
 
 
+def test_scan_stream_mega_path_matches_xla(plain_model, rng):
+    """make_scan_stream with frame_size routes single-stream without-PQC
+    through the whole-stack mega kernel (interpret mode here); outputs must
+    match the XLA scan path at bf16-weight tolerance."""
+    from dl_speech_enhancement_tpu.stream import make_scan_stream
+
+    gen, params, _ = plain_model
+    frame = gen.hop * 2
+    n = 4
+    frames = jnp.asarray(
+        rng.standard_normal((n, 1, frame, 1)).astype(np.float32) * 0.3)
+
+    run_xla = make_scan_stream(gen, params, batch=1, backend="xla")
+    ys_ref, _ = run_xla(run_xla.init_cache(), frames)
+
+    run_mega = make_scan_stream(gen, params, batch=1, backend="pallas",
+                                frame_size=frame, interpret=True)
+    assert run_mega.__name__ == "run_mega"  # the kernel path was taken
+    ys, _ = run_mega(run_mega.init_cache(), frames)
+    assert ys.shape == ys_ref.shape
+    # default mega weights are bf16 (activations f32) -> ~1e-2 tolerance
+    scale = float(np.max(np.abs(np.asarray(ys_ref)))) + 1e-9
+    np.testing.assert_allclose(np.asarray(ys) / scale,
+                               np.asarray(ys_ref) / scale, atol=2e-2)
+
+
+def test_scan_stream_mega_falls_back_on_uncovered_topology(rng):
+    """Topologies the mega kernel can't assemble (first encoder stride not
+    dividing 6) must fall back to the fused-chain/XLA path, not crash."""
+    from dl_speech_enhancement_tpu.stream import make_scan_stream
+
+    gen = AudioDecGenerator(
+        encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
+        codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
+        enc_strides=(4, 3), dec_strides=(3, 4), use_pqc=False,
+    )
+    params, _ = gen.init(jax.random.PRNGKey(0))
+    frame = gen.hop * 2
+    run = make_scan_stream(gen, params, batch=1, backend="pallas",
+                           frame_size=frame, interpret=True)
+    frames = jnp.asarray(
+        rng.standard_normal((2, 1, frame, 1)).astype(np.float32) * 0.3)
+    ys, _ = run(run.init_cache(), frames)
+    assert np.all(np.isfinite(np.asarray(ys)))
+
+
 def test_scan_stream_matches_framewise(pqc_model, rng):
     """The on-device lax.scan streaming path == the frame-by-frame runtime."""
     from dl_speech_enhancement_tpu.stream import make_scan_stream
