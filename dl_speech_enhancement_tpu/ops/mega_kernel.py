@@ -124,21 +124,35 @@ def _rep_matrix(t_in, stride):
 
 
 def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
-                     interpret: bool = False):
-    """Whole-model streaming scan for the without-PQC denoiser.
+                     interpret: bool = False, vq_state=None):
+    """Whole-model streaming scan for the AudioDec generator family.
 
     Returns ``(init_cache, run)`` with ``init_cache() -> cache dict`` and
-    ``run(cache, frames (N, chunk)) -> (out (N, chunk), new_cache)``.
-    Semantics per frame match ``gen.encode_step`` + ``gen.decode_step``
-    from zero caches (tested in tests/test_mega_kernel.py).
+
+    - without PQC: ``run(cache, frames (N, chunk)) -> (out (N, chunk),
+      new_cache)`` — semantics per frame match ``gen.encode_step`` +
+      ``gen.decode_step`` from zero caches;
+    - with PQC (pass ``vq_state``): ``run(cache, frames) -> (out, new_cache,
+      codes (N, chunk/hop, codebook_num) int32)`` — the encoder kernel
+      additionally runs the projector conv and the full residual-VQ
+      nearest-codeword assignment (flattened ``+ l*K`` wire indices, the
+      tx bitstream of utils/audiodec.py:96-103), and the decoder kernel
+      starts with the codebook lookup and the decoder input conv; per-frame
+      semantics match ``encode_step -> quantize -> lookup -> decode_step``.
+      Codebooks and distances stay f32 so assignments agree with the XLA
+      path.
+
+    Tested in tests/test_mega_kernel.py.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert not gen.use_pqc, "mega kernel covers the without-PQC denoiser"
     assert gen.mode == "causal"
     assert gen.input_channels == 1
     assert chunk % gen.hop == 0 and chunk > 0
+    use_pqc = gen.use_pqc
+    if use_pqc:
+        assert vq_state is not None, "PQC mega kernel needs the VQ state"
     wd = weight_dtype
 
     enc = gen.encoder
@@ -237,6 +251,23 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
         t_rows = t_out
     z_rows, z_ch = t_rows, enc.out_channels
 
+    # projector + residual-VQ (PQC only): causal k=3 conv 512 -> code_dim,
+    # then L nearest-codeword assignments on f32 distances
+    if use_pqc:
+        pr = gen.projector.conv
+        assert pr.stride == 1 and pr.dilation == 1
+        w_pr = np.asarray(pr.weight(params["projector"]["conv"]))  # (k,512,D)
+        k_pr = w_pr.shape[0]
+        econsts.add("prW", w_pr.astype(wd))
+        ecache("prj", k_pr - 1, z_ch, z_rows)
+        embed = np.asarray(vq_state.embed)  # (L, D, K)
+        n_books, code_dim, book_k = embed.shape
+        for l in range(n_books):
+            econsts.add(f"vqE{l}", embed[l].astype(np.float32))
+            econsts.add(f"vqN{l}", np.sum(embed[l] ** 2, axis=0,
+                                          keepdims=True).astype(np.float32))
+            econsts.add(f"vqT{l}", embed[l].T.astype(np.float32))  # (K, D)
+
     ecache_names = [n for n, _ in ecaches]
     n_ec, n_ecache = len(econsts.arrays), len(ecaches)
 
@@ -325,7 +356,30 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
                     t = dot(g[0:t_out], w[p]) + dot(g[1 : t_out + 1], w[s + p])
                     h = t if h is None else h + t
                 h += C[f"e{bi}db"][...]
-        z_ref[0] = h
+        if not use_pqc:
+            z_ref[0] = h
+            return
+        # projector conv (k=3, causal, no bias)
+        v = site("prj", k_pr - 1, h)
+        vw = v.astype(wd)
+        z = dot(vw[0:z_rows], C["prW"][0])
+        for j in range(1, k_pr):
+            z += dot(vw[j : j + z_rows], C["prW"][j])
+        # residual VQ: L nearest-codeword assignments (f32 distances; ties
+        # break to the lowest index, matching jnp.argmin / vq_module.py)
+        residual = z
+        lane = lax.broadcasted_iota(jnp.int32, (z_rows, book_k), 1)
+        cols = []
+        for l in range(n_books):
+            e_l = C[f"vqE{l}"][...]
+            dist = (jnp.sum(jnp.square(residual), axis=1, keepdims=True)
+                    - 2.0 * dot(residual, e_l) + C[f"vqN{l}"][...])
+            m = jnp.min(dist, axis=1, keepdims=True)
+            ind = jnp.min(jnp.where(dist <= m, lane, book_k), axis=1)
+            onehot = (lane == ind[:, None]).astype(jnp.float32)
+            residual = residual - dot(onehot, C[f"vqT{l}"][...])
+            cols.append((ind + l * book_k)[:, None])
+        z_ref[0] = jnp.concatenate(cols, axis=1)
 
     # ---------------- decoder build ----------------
     dconsts = _Bag()
@@ -335,6 +389,17 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
     def dcache(name, ctx, lanes, t_rows):
         dcaches.append((name, (ctx, lanes)))
         dscratch.append((name, (ctx + t_rows, lanes)))
+
+    if use_pqc:
+        # codebook lookup (sum of per-layer embeddings) + input conv (k=7)
+        for l in range(n_books):
+            dconsts.add(f"cbk{l}", embed[l].T.astype(np.float32))  # (K, D)
+        d1 = dec.conv1
+        assert d1.stride == 1 and d1.dilation == 1
+        w_d1 = np.asarray(d1.weight(dec_p["conv1"]))  # (k, D, 512)
+        k_d1 = w_d1.shape[0]
+        dconsts.add("dc1W", w_d1.astype(wd))
+        dcache("dc1", k_d1 - 1, code_dim, z_rows)
 
     dec_plan = []
     t_rows = z_rows
@@ -443,7 +508,22 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        h = z_ref[0].astype(jnp.float32)
+        if use_pqc:
+            idx = z_ref[0]  # (z_rows, L) int32, flattened wire indices
+            lane = lax.broadcasted_iota(jnp.int32, (z_rows, book_k), 1)
+            zq = None
+            for l in range(n_books):
+                ind = idx[:, l] - l * book_k
+                onehot = (lane == ind[:, None]).astype(jnp.float32)
+                q = dot(onehot, C[f"cbk{l}"][...])
+                zq = q if zq is None else zq + q
+            v = site("dc1", k_d1 - 1, zq)
+            vw = v.astype(wd)
+            h = dot(vw[0:z_rows], C["dc1W"][0])
+            for j in range(1, k_d1):
+                h += dot(vw[j : j + z_rows], C["dc1W"][j])
+        else:
+            h = z_ref[0].astype(jnp.float32)
         for info in dec_plan:
             bi, s, cpad = info["bi"], info["stride"], info["cpad"]
             t_in, t_out = info["t_in"], info["t_out"]
@@ -510,6 +590,12 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
         return cache
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # wire format between the two kernels: raw features without PQC,
+    # flattened int32 code indices (the tx bitstream) with PQC
+    if use_pqc:
+        z_lanes, z_dtype = n_books, jnp.int32
+    else:
+        z_lanes, z_dtype = z_ch, jnp.float32
 
     def run(cache, frames):
         n, t = frames.shape
@@ -520,9 +606,9 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
             grid=(n,),
             in_specs=([pl.BlockSpec((1, rows0, fold), lambda i: (i, 0, 0))]
                       + [vmem] * (n_ec + n_ecache)),
-            out_specs=([pl.BlockSpec((1, z_rows, z_ch), lambda i: (i, 0, 0))]
+            out_specs=([pl.BlockSpec((1, z_rows, z_lanes), lambda i: (i, 0, 0))]
                        + [vmem] * n_ecache),
-            out_shape=([jax.ShapeDtypeStruct((n, z_rows, z_ch), jnp.float32)]
+            out_shape=([jax.ShapeDtypeStruct((n, z_rows, z_lanes), z_dtype)]
                        + [jax.ShapeDtypeStruct(shape, jnp.float32)
                           for _, shape in ecaches]),
             scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
@@ -533,7 +619,7 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
         dec_out = pl.pallas_call(
             dec_kernel,
             grid=(n,),
-            in_specs=([pl.BlockSpec((1, z_rows, z_ch), lambda i: (i, 0, 0))]
+            in_specs=([pl.BlockSpec((1, z_rows, z_lanes), lambda i: (i, 0, 0))]
                       + [vmem] * (n_dc + n_dcache)),
             out_specs=([pl.BlockSpec((1, out_rows, fold_d),
                                      lambda i: (i, 0, 0))]
@@ -550,6 +636,581 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
         out = yf.reshape(n, t)
         new_cache = dict(zip(ecache_names, enc_new))
         new_cache.update(dict(zip(dcache_names, dec_new)))
+        if use_pqc:
+            return out, new_cache, z
+        return out, new_cache
+
+    return init_cache, run
+
+
+def _phase_major_matrix(t_out, stride, t_ext):
+    """(s*(t_out+1), t_ext) 0/1 gather into phase-major order: row
+    p*(t_out+1)+i selects source row p + s*i."""
+    m = np.zeros((stride * (t_out + 1), t_ext), np.float32)
+    for p in range(stride):
+        for i in range(t_out + 1):
+            m[p * (t_out + 1) + i, p + stride * i] = 1.0
+    return m
+
+
+def _interleave_matrix(t_in, stride):
+    """(s*t_in, s*t_in) 0/1 permutation: output (time-major) row r selects
+    phase-major row (r % s) * t_in + r // s."""
+    n = stride * t_in
+    m = np.zeros((n, n), np.float32)
+    r = np.arange(n)
+    m[r, (r % stride) * t_in + r // stride] = 1.0
+    return m
+
+
+def make_mega_stream_batched(gen, params, chunk: int, batch: int,
+                             weight_dtype=jnp.bfloat16,
+                             interpret: bool = False, vq_state=None):
+    """Multi-stream variant of :func:`make_mega_stream`: B concurrent
+    independent streams per dispatch, still ONE Pallas kernel per side.
+
+    Motivation: at batch 16 the XLA scan re-streams ~30 MB of weights from
+    HBM every frame and pays per-op overheads ~50x per frame; here weights
+    stay VMEM-resident across the whole (frames) grid and every residual-
+    chain matmul runs on ``B*rows`` rows — 16x better MXU row utilisation
+    at the deep levels, where a single stream has only 4-20 rows against
+    512 channels.
+
+    Layout: every streaming cache site becomes a ``(B, ctx+rows, lanes)``
+    VMEM scratch; chain convs slice windows on the middle (time) axis and
+    flatten ``(B, rn, C) -> (B*rn, C)`` for the MXU (stream boundaries
+    never mix because each stream owns its context rows). The only
+    per-stream work is one 0/1 permutation matmul per boundary conv:
+    strided downsamples gather their input phases into phase-major order
+    (``_phase_major_matrix``), transposed upsamples permute phase-major
+    outputs back to time order (``_interleave_matrix``); the tap matmuls
+    around them are batched flat.
+
+    API: ``init_cache() -> {name: (B, ctx, lanes)}``;
+    ``run(cache, frames (N, B, chunk)) -> (out (N, B, chunk), new_cache)``
+    (+ ``codes (N, B, chunk/hop, L)`` with PQC). Per-frame semantics match
+    ``gen.encode_step``/``decode_step`` per stream, like the single-stream
+    kernel.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert gen.mode == "causal"
+    assert gen.input_channels == 1
+    assert chunk % gen.hop == 0 and chunk > 0
+    assert batch >= 1
+    bsz = batch
+    use_pqc = gen.use_pqc
+    if use_pqc:
+        assert vq_state is not None, "PQC mega kernel needs the VQ state"
+    wd = weight_dtype
+
+    enc = gen.encoder
+    dec = gen.decoder
+    enc_p = params["encoder"]
+    dec_p = params["decoder"]
+
+    # ---------------- encoder build ----------------
+    fold = enc.blocks[0].conv.stride
+    assert 6 % fold == 0, f"first encoder stride {fold} must divide 6"
+    for blk in enc.blocks:
+        assert blk.conv.kernel_size == 2 * blk.conv.stride
+        for u in blk.res_units:
+            assert u.conv1.kernel_size == 7
+    rows0 = chunk // fold
+
+    econsts = _Bag()
+    ecaches = []   # (name, (ctx, lanes)) -> cache arrays (B, ctx, lanes)
+    escratch = []  # (name, 3d shape)
+
+    def ecache(name, ctx, lanes, t_rows):
+        ecaches.append((name, (ctx, lanes)))
+        escratch.append((name, (bsz, ctx + t_rows, lanes)))
+        return ctx
+
+    def escratch_extra(name, shape):
+        escratch.append((name, shape))
+
+    # input conv (k=7, 1 -> C0), folded output
+    w_in = np.asarray(enc.conv.weight(enc_p["conv"]))  # (7, 1, C0)
+    c0 = w_in.shape[2]
+    ctx_in = _ceil_div(6, fold)
+    extra_in = ctx_in * fold - 6
+    a_in = np.zeros((ctx_in + 1, fold, fold * c0), np.float32)
+    for o in range(ctx_in + 1):
+        for p in range(fold):
+            for q in range(fold):
+                j = fold * o + p - q - extra_in
+                if 0 <= j <= 6:
+                    a_in[o, p, q * c0 : (q + 1) * c0] = w_in[j, 0]
+    econsts.add("in_A", a_in.astype(wd))
+    ecache("cin", ctx_in, fold, rows0)
+
+    enc_plan = []
+    t_rows = rows0
+    for bi, blk in enumerate(enc.blocks):
+        bp = enc_p["blocks"][bi]
+        s = blk.conv.stride
+        cin_ch = blk.conv.in_channels
+        cout_ch = blk.conv.out_channels
+        wdn = np.asarray(blk.conv.weight(bp["conv"]))
+        bdn = np.asarray(bp["conv"].get("b", np.zeros(cout_ch)))
+        info = {"bi": bi, "stride": s, "folded": bi == 0}
+        if bi == 0:
+            fc = fold * cin_ch
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                m1, m2, pad_rows = _folded_unit_mats(u, bp["res"][ui], fold)
+                econsts.add(f"e0u{ui}m1", m1.astype(wd))
+                econsts.add(f"e0u{ui}m2", m2.astype(wd))
+                units.append((f"e0u{ui}m1", f"e0u{ui}m2", pad_rows))
+            info["units"] = units
+            chain_ctx = sum(pr for _, _, pr in units)
+            ecache("e0ch", chain_ctx, fc, t_rows)
+            info["chain_ctx"] = chain_ctx
+            assert s == fold
+            b_dn = np.zeros((3, fc, cout_ch), np.float32)
+            for o in range(3):
+                for p in range(fold):
+                    j = fold * o + p - 1
+                    if 0 <= j < 2 * s:
+                        b_dn[o, p * cin_ch : (p + 1) * cin_ch] = wdn[j]
+            econsts.add("e0dB", b_dn.astype(wd))
+            econsts.add("e0db", bdn.reshape(1, -1).astype(np.float32))
+            ecache("e0d", 2, fc, t_rows)
+            t_out = t_rows
+        else:
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                w1, w2 = _unit_weights(u, bp["res"][ui])
+                econsts.add(f"e{bi}u{ui}w1", w1.astype(wd))
+                econsts.add(f"e{bi}u{ui}w2", w2.astype(wd))
+                units.append((f"e{bi}u{ui}w1", f"e{bi}u{ui}w2",
+                              u.conv1.dilation))
+            info["units"] = units
+            chain_ctx = sum(6 * d for _, _, d in units)
+            ecache(f"e{bi}ch", chain_ctx, cin_ch, t_rows)
+            info["chain_ctx"] = chain_ctx
+            t_out = t_rows // s
+            t_ext = (2 * s - 1) + t_rows
+            econsts.add(f"e{bi}dW", wdn.astype(wd))
+            econsts.add(f"e{bi}db", bdn.reshape(1, -1).astype(np.float32))
+            econsts.add(f"e{bi}P", _phase_major_matrix(t_out, s, t_ext))
+            ecache(f"e{bi}d", 2 * s - 1, cin_ch, t_rows)
+            escratch_extra(f"e{bi}G", (bsz, s * (t_out + 1), cin_ch))
+        info["t_in"] = t_rows
+        info["t_out"] = t_out
+        enc_plan.append(info)
+        t_rows = t_out
+    z_rows, z_ch = t_rows, enc.out_channels
+
+    if use_pqc:
+        pr = gen.projector.conv
+        assert pr.stride == 1 and pr.dilation == 1
+        w_pr = np.asarray(pr.weight(params["projector"]["conv"]))
+        k_pr = w_pr.shape[0]
+        econsts.add("prW", w_pr.astype(wd))
+        ecache("prj", k_pr - 1, z_ch, z_rows)
+        embed = np.asarray(vq_state.embed)  # (L, D, K)
+        n_books, code_dim, book_k = embed.shape
+        for l in range(n_books):
+            econsts.add(f"vqE{l}", embed[l].astype(np.float32))
+            econsts.add(f"vqN{l}", np.sum(embed[l] ** 2, axis=0,
+                                          keepdims=True).astype(np.float32))
+            econsts.add(f"vqT{l}", embed[l].T.astype(np.float32))
+
+    ecache_names = [n for n, _ in ecaches]
+    n_ec, n_ecache = len(econsts.arrays), len(ecaches)
+
+    def enc_kernel(*refs):
+        x_ref = refs[0]
+        cr = refs[1 : 1 + n_ec]
+        ci = refs[1 + n_ec : 1 + n_ec + n_ecache]
+        z_ref = refs[1 + n_ec + n_ecache]
+        co = refs[2 + n_ec + n_ecache : 2 + n_ec + n_ecache + n_ecache]
+        scratch = refs[2 + n_ec + 2 * n_ecache :]
+        C = {n: cr[i] for i, n in enumerate(econsts.names)}
+        S = {n: scratch[i] for i, (n, _) in enumerate(escratch)}
+        CI = {n: ci[i] for i, n in enumerate(ecache_names)}
+        CO = {n: co[i] for i, n in enumerate(ecache_names)}
+        i = pl.program_id(0)
+
+        def site(name, ctx, x_val):
+            buf = S[name]
+
+            @pl.when(i == 0)
+            def _():
+                buf[:, 0:ctx, :] = CI[name][...]
+
+            buf[:, ctx:, :] = x_val
+            v = buf[...]
+            tail = v[:, v.shape[1] - ctx :, :]
+            buf[:, 0:ctx, :] = tail
+            CO[name][...] = tail
+            return v
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def fw(v3, o, rn):
+            """Window rows o:o+rn of every stream, flattened for the MXU."""
+            return v3[:, o : o + rn, :].reshape(bsz * rn, v3.shape[2])
+
+        # input conv (folded)
+        v = site("cin", ctx_in, x_ref[0].astype(jnp.float32))
+        vw = v.astype(wd)
+        h = dot(fw(vw, 0, rows0), C["in_A"][0])
+        for o in range(1, ctx_in + 1):
+            h += dot(fw(vw, o, rows0), C["in_A"][o])
+        h = h.reshape(bsz, rows0, fold * c0)
+
+        for info in enc_plan:
+            bi, s = info["bi"], info["stride"]
+            t_in, t_out = info["t_in"], info["t_out"]
+            v = site("e0ch" if bi == 0 else f"e{bi}ch",
+                     info["chain_ctx"], h)
+            r = v.shape[1]
+            ch = v.shape[2]
+            if info["folded"]:
+                for m1n, m2n, pad_rows in info["units"]:
+                    rn = r - pad_rows
+                    a = _elu(v).astype(wd)
+                    m1 = C[m1n]
+                    acc = dot(fw(a, 0, rn), m1[0])
+                    for o in range(1, pad_rows + 1):
+                        acc += dot(fw(a, o, rn), m1[o])
+                    y = dot(_elu(acc).astype(wd), C[m2n][...])
+                    v = v[:, pad_rows:, :] + y.reshape(bsz, rn, ch)
+                    r = rn
+            else:
+                for w1n, w2n, d in info["units"]:
+                    pad = 6 * d
+                    rn = r - pad
+                    a = _elu(v).astype(wd)
+                    w1 = C[w1n]
+                    acc = dot(fw(a, 0, rn), w1[0])
+                    for j in range(1, 7):
+                        acc += dot(fw(a, j * d, rn), w1[j])
+                    y = dot(_elu(acc).astype(wd), C[w2n][...])
+                    v = v[:, pad:, :] + y.reshape(bsz, rn, ch)
+                    r = rn
+            # downsample
+            if info["folded"]:
+                v = site("e0d", 2, v)
+                vw = v.astype(wd)
+                h = dot(fw(vw, 0, t_out), C["e0dB"][0])
+                for o in (1, 2):
+                    h += dot(fw(vw, o, t_out), C["e0dB"][o])
+                h = (h + C["e0db"][...]).reshape(bsz, t_out, -1)
+            else:
+                v = site(f"e{bi}d", 2 * s - 1, v)
+                pmat = C[f"e{bi}P"][...]
+                gbuf = S[f"e{bi}G"]
+                for b in range(bsz):
+                    gbuf[b] = dot(pmat, v[b])
+                g3 = gbuf[...].astype(wd)
+                w = C[f"e{bi}dW"]
+                t1 = t_out + 1
+                h = None
+                for p in range(s):
+                    gp = g3[:, p * t1 : (p + 1) * t1, :]
+                    t = (dot(fw(gp, 0, t_out), w[p])
+                         + dot(fw(gp, 1, t_out), w[s + p]))
+                    h = t if h is None else h + t
+                h = (h + C[f"e{bi}db"][...]).reshape(bsz, t_out, -1)
+        if not use_pqc:
+            z_ref[0] = h
+            return
+        # projector conv
+        v = site("prj", k_pr - 1, h)
+        vw = v.astype(wd)
+        z = dot(fw(vw, 0, z_rows), C["prW"][0])
+        for j in range(1, k_pr):
+            z += dot(fw(vw, j, z_rows), C["prW"][j])
+        # residual VQ on (B*z_rows, D) rows
+        residual = z
+        nrows = bsz * z_rows
+        lane = lax.broadcasted_iota(jnp.int32, (nrows, book_k), 1)
+        cols = []
+        for l in range(n_books):
+            e_l = C[f"vqE{l}"][...]
+            dist = (jnp.sum(jnp.square(residual), axis=1, keepdims=True)
+                    - 2.0 * dot(residual, e_l) + C[f"vqN{l}"][...])
+            m = jnp.min(dist, axis=1, keepdims=True)
+            ind = jnp.min(jnp.where(dist <= m, lane, book_k), axis=1)
+            onehot = (lane == ind[:, None]).astype(jnp.float32)
+            residual = residual - dot(onehot, C[f"vqT{l}"][...])
+            cols.append((ind + l * book_k)[:, None])
+        z_ref[0] = jnp.concatenate(cols, axis=1).reshape(
+            bsz, z_rows, n_books)
+
+    # ---------------- decoder build ----------------
+    dconsts = _Bag()
+    dcaches = []
+    dscratch = []
+
+    def dcache(name, ctx, lanes, t_rows):
+        dcaches.append((name, (ctx, lanes)))
+        dscratch.append((name, (bsz, ctx + t_rows, lanes)))
+
+    def dscratch_extra(name, shape):
+        dscratch.append((name, shape))
+
+    if use_pqc:
+        for l in range(n_books):
+            dconsts.add(f"cbk{l}", embed[l].T.astype(np.float32))
+        d1 = dec.conv1
+        assert d1.stride == 1 and d1.dilation == 1
+        w_d1 = np.asarray(d1.weight(dec_p["conv1"]))
+        k_d1 = w_d1.shape[0]
+        dconsts.add("dc1W", w_d1.astype(wd))
+        dcache("dc1", k_d1 - 1, code_dim, z_rows)
+
+    dec_plan = []
+    t_rows = z_rows
+    n_blocks = len(dec.blocks)
+    fold_d = dec.blocks[-1].conv.stride
+    assert 6 % fold_d == 0, f"last decoder stride {fold_d} must divide 6"
+    for bi, blk in enumerate(dec.blocks):
+        bp = dec_p["blocks"][bi]
+        s = blk.conv.stride
+        assert blk.conv.kernel_size == 2 * s
+        cpad = blk.conv.kernel_size - 1 - s
+        cin_ch = blk.conv.in_channels
+        cout_ch = blk.conv.out_channels
+        wup = np.asarray(blk.conv.weight(bp["conv"]))
+        bup = np.asarray(bp["conv"].get("b", np.zeros(cout_ch)))
+        last = bi == n_blocks - 1
+        info = {"bi": bi, "stride": s, "cpad": cpad, "last": last,
+                "t_in": t_rows}
+        dcache(f"d{bi}u", 1, cin_ch, t_rows)
+        if last:
+            fc = fold_d * cout_ch
+            m0 = np.concatenate([wup[cpad - p] for p in range(s)], axis=1)
+            m1 = np.concatenate([wup[cpad + s - p] for p in range(s)], axis=1)
+            dconsts.add("duM0", m0.astype(wd))
+            dconsts.add("duM1", m1.astype(wd))
+            dconsts.add("dub", np.tile(bup, fold_d).reshape(1, -1)
+                        .astype(np.float32))
+            t_out = t_rows
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                m1u, m2u, pad_rows = _folded_unit_mats(u, bp["res"][ui],
+                                                       fold_d)
+                dconsts.add(f"d{bi}u{ui}m1", m1u.astype(wd))
+                dconsts.add(f"d{bi}u{ui}m2", m2u.astype(wd))
+                units.append((f"d{bi}u{ui}m1", f"d{bi}u{ui}m2", pad_rows))
+            info["units"] = units
+            chain_ctx = sum(pr for _, _, pr in units)
+            dcache(f"d{bi}ch", chain_ctx, fc, t_out)
+        else:
+            dconsts.add(f"d{bi}uW", wup.astype(wd))
+            dconsts.add(f"d{bi}ub", bup.reshape(1, -1).astype(np.float32))
+            dconsts.add(f"d{bi}I", _interleave_matrix(t_rows, s))
+            t_out = t_rows * s
+            units = []
+            for ui, u in enumerate(blk.res_units):
+                w1, w2 = _unit_weights(u, bp["res"][ui])
+                dconsts.add(f"d{bi}u{ui}w1", w1.astype(wd))
+                dconsts.add(f"d{bi}u{ui}w2", w2.astype(wd))
+                units.append((f"d{bi}u{ui}w1", f"d{bi}u{ui}w2",
+                              u.conv1.dilation))
+            info["units"] = units
+            chain_ctx = sum(6 * d for _, _, d in units)
+            dcache(f"d{bi}ch", chain_ctx, cout_ch, t_out)
+            dscratch_extra(f"d{bi}M", (bsz, t_out, cout_ch))
+            dscratch_extra(f"d{bi}Y", (bsz, t_out, cout_ch))
+        info["chain_ctx"] = chain_ctx
+        info["t_out"] = t_out
+        dec_plan.append(info)
+        t_rows = t_out
+
+    w_out = np.asarray(dec.conv2.weight(dec_p["conv2"]))
+    c_last = w_out.shape[1]
+    ctx_out = _ceil_div(6, fold_d)
+    extra_out = ctx_out * fold_d - 6
+    o_out = np.zeros((ctx_out + 1, fold_d * c_last, fold_d), np.float32)
+    for o in range(ctx_out + 1):
+        for p in range(fold_d):
+            for q in range(fold_d):
+                j = fold_d * o + p - q - extra_out
+                if 0 <= j <= 6:
+                    o_out[o, p * c_last : (p + 1) * c_last, q] = w_out[j, :, 0]
+    dconsts.add("outO", o_out.astype(wd))
+    out_rows = t_rows
+    dcache("cout", ctx_out, fold_d * c_last, out_rows)
+
+    dcache_names = [n for n, _ in dcaches]
+    n_dc, n_dcache = len(dconsts.arrays), len(dcaches)
+
+    def dec_kernel(*refs):
+        z_ref = refs[0]
+        cr = refs[1 : 1 + n_dc]
+        ci = refs[1 + n_dc : 1 + n_dc + n_dcache]
+        y_ref = refs[1 + n_dc + n_dcache]
+        co = refs[2 + n_dc + n_dcache : 2 + n_dc + n_dcache + n_dcache]
+        scratch = refs[2 + n_dc + 2 * n_dcache :]
+        C = {n: cr[i] for i, n in enumerate(dconsts.names)}
+        S = {n: scratch[i] for i, (n, _) in enumerate(dscratch)}
+        CI = {n: ci[i] for i, n in enumerate(dcache_names)}
+        CO = {n: co[i] for i, n in enumerate(dcache_names)}
+        i = pl.program_id(0)
+
+        def site(name, ctx, x_val):
+            buf = S[name]
+
+            @pl.when(i == 0)
+            def _():
+                buf[:, 0:ctx, :] = CI[name][...]
+
+            buf[:, ctx:, :] = x_val
+            v = buf[...]
+            tail = v[:, v.shape[1] - ctx :, :]
+            buf[:, 0:ctx, :] = tail
+            CO[name][...] = tail
+            return v
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def fw(v3, o, rn):
+            return v3[:, o : o + rn, :].reshape(bsz * rn, v3.shape[2])
+
+        if use_pqc:
+            idx = z_ref[0].reshape(bsz * z_rows, n_books)
+            nrows = bsz * z_rows
+            lane = lax.broadcasted_iota(jnp.int32, (nrows, book_k), 1)
+            zq = None
+            for l in range(n_books):
+                ind = idx[:, l] - l * book_k
+                onehot = (lane == ind[:, None]).astype(jnp.float32)
+                q = dot(onehot, C[f"cbk{l}"][...])
+                zq = q if zq is None else zq + q
+            v = site("dc1", k_d1 - 1, zq.reshape(bsz, z_rows, code_dim))
+            vw = v.astype(wd)
+            h = dot(fw(vw, 0, z_rows), C["dc1W"][0])
+            for j in range(1, k_d1):
+                h += dot(fw(vw, j, z_rows), C["dc1W"][j])
+            h = h.reshape(bsz, z_rows, -1)
+        else:
+            h = z_ref[0].astype(jnp.float32)
+        for info in dec_plan:
+            bi, s, cpad = info["bi"], info["stride"], info["cpad"]
+            t_in, t_out = info["t_in"], info["t_out"]
+            v = site(f"d{bi}u", 1, h)
+            vw = v.astype(wd)
+            if info["last"]:
+                h = (dot(fw(vw, 0, t_in), C["duM0"][...])
+                     + dot(fw(vw, 1, t_in), C["duM1"][...])
+                     + C["dub"][...]).reshape(bsz, t_in, -1)
+            else:
+                w = C[f"d{bi}uW"]
+                mbuf = S[f"d{bi}M"]  # phase-major staging (B, s*t_in, C)
+                for p in range(s):
+                    yp = (dot(fw(vw, 0, t_in), w[cpad - p])
+                          + dot(fw(vw, 1, t_in), w[cpad + s - p]))
+                    mbuf[:, p * t_in : (p + 1) * t_in, :] = yp.reshape(
+                        bsz, t_in, -1)
+                imat = C[f"d{bi}I"][...]
+                ybuf = S[f"d{bi}Y"]
+                for b in range(bsz):
+                    ybuf[b] = dot(imat, mbuf[b])
+                h = ybuf[...] + C[f"d{bi}ub"][...]
+            v = site(f"d{bi}ch", info["chain_ctx"], h)
+            r = v.shape[1]
+            ch = v.shape[2]
+            if info["last"]:
+                for m1n, m2n, pad_rows in info["units"]:
+                    rn = r - pad_rows
+                    a = _elu(v).astype(wd)
+                    m1 = C[m1n]
+                    acc = dot(fw(a, 0, rn), m1[0])
+                    for o in range(1, pad_rows + 1):
+                        acc += dot(fw(a, o, rn), m1[o])
+                    y = dot(_elu(acc).astype(wd), C[m2n][...])
+                    v = v[:, pad_rows:, :] + y.reshape(bsz, rn, ch)
+                    r = rn
+            else:
+                for w1n, w2n, d in info["units"]:
+                    pad = 6 * d
+                    rn = r - pad
+                    a = _elu(v).astype(wd)
+                    w1 = C[w1n]
+                    acc = dot(fw(a, 0, rn), w1[0])
+                    for j in range(1, 7):
+                        acc += dot(fw(a, j * d, rn), w1[j])
+                    y = dot(_elu(acc).astype(wd), C[w2n][...])
+                    v = v[:, pad:, :] + y.reshape(bsz, rn, ch)
+                    r = rn
+            h = v
+
+        v = site("cout", ctx_out, h)
+        vw = v.astype(wd)
+        y = dot(fw(vw, 0, out_rows), C["outO"][0])
+        for o in range(1, ctx_out + 1):
+            y += dot(fw(vw, o, out_rows), C["outO"][o])
+        y_ref[0] = y.reshape(bsz, out_rows, fold_d)
+
+    # ---------------- wrappers ----------------
+    def init_cache():
+        cache = {}
+        for name, (ctx, lanes) in ecaches + dcaches:
+            cache[name] = jnp.zeros((bsz, ctx, lanes), jnp.float32)
+        return cache
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if use_pqc:
+        z_lanes, z_dtype = n_books, jnp.int32
+    else:
+        z_lanes, z_dtype = z_ch, jnp.float32
+
+    def run(cache, frames):
+        n, b, t = frames.shape
+        assert t == chunk and b == bsz, (frames.shape, bsz, chunk)
+        xf = frames.reshape(n, bsz, rows0, fold)
+        enc_out = pl.pallas_call(
+            enc_kernel,
+            grid=(n,),
+            in_specs=([pl.BlockSpec((1, bsz, rows0, fold),
+                                    lambda i: (i, 0, 0, 0))]
+                      + [vmem] * (n_ec + n_ecache)),
+            out_specs=([pl.BlockSpec((1, bsz, z_rows, z_lanes),
+                                     lambda i: (i, 0, 0, 0))]
+                       + [vmem] * n_ecache),
+            out_shape=([jax.ShapeDtypeStruct((n, bsz, z_rows, z_lanes),
+                                             z_dtype)]
+                       + [jax.ShapeDtypeStruct(shape, jnp.float32)
+                          for _, shape in
+                          [(nm, (bsz,) + sh) for nm, sh in ecaches]]),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                            for _, shape in escratch],
+            interpret=interpret,
+        )(xf, *econsts.arrays, *[cache[nm] for nm in ecache_names])
+        z, *enc_new = enc_out
+        dec_out = pl.pallas_call(
+            dec_kernel,
+            grid=(n,),
+            in_specs=([pl.BlockSpec((1, bsz, z_rows, z_lanes),
+                                    lambda i: (i, 0, 0, 0))]
+                      + [vmem] * (n_dc + n_dcache)),
+            out_specs=([pl.BlockSpec((1, bsz, out_rows, fold_d),
+                                     lambda i: (i, 0, 0, 0))]
+                       + [vmem] * n_dcache),
+            out_shape=([jax.ShapeDtypeStruct((n, bsz, out_rows, fold_d),
+                                             jnp.float32)]
+                       + [jax.ShapeDtypeStruct(shape, jnp.float32)
+                          for _, shape in
+                          [(nm, (bsz,) + sh) for nm, sh in dcaches]]),
+            scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
+                            for _, shape in dscratch],
+            interpret=interpret,
+        )(z, *dconsts.arrays, *[cache[nm] for nm in dcache_names])
+        yf, *dec_new = dec_out
+        out = yf.reshape(n, bsz, t)
+        new_cache = dict(zip(ecache_names, enc_new))
+        new_cache.update(dict(zip(dcache_names, dec_new)))
+        if use_pqc:
+            return out, new_cache, z
         return out, new_cache
 
     return init_cache, run

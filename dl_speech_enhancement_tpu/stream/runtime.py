@@ -183,17 +183,19 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     offline evaluation with streaming semantics and for RTF measurement.
 
     ``backend='pallas'`` (or 'auto' on TPU) uses hand-fused kernels for the
-    without-PQC single-stream case; other cases fall back to the XLA step.
-    When ``frame_size`` is given (the kernel needs the static chunk length
-    at assembly time) the whole-stack mega kernel (ops/mega_kernel.py) runs
+    single-stream case; other cases fall back to the XLA step. When
+    ``frame_size`` is given (the kernel needs the static chunk length at
+    assembly time) the whole-stack mega kernel (ops/mega_kernel.py) runs
     the encoder and decoder as ONE Pallas kernel each with weights resident
-    in VMEM across frames — ~24 us/frame on v5e vs 77 us XLA (~3.3x);
-    without it, the per-frame fused residual-chain kernels
-    (ops/stream_kernel.py) still give ~1.2-1.7x over XLA.
+    in VMEM across frames — ~22 us/frame on v5e vs 77 us XLA (~3.5x) — and
+    covers the PQC codec too (in-kernel projector + residual-VQ wire
+    indices + lookup); without it, the per-frame fused residual-chain
+    kernels (ops/stream_kernel.py) still give ~1.2-1.7x over XLA for the
+    without-PQC case.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-    if backend == "pallas" and not gen.use_pqc and batch == 1:
+    if backend == "pallas" and batch == 1:
         if frame_size is not None:
             try:
                 from dl_speech_enhancement_tpu.ops.mega_kernel import (
@@ -202,17 +204,27 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                 init_mega, mega_run = make_mega_stream(
                     gen, jax.device_put(params), chunk=frame_size,
                     interpret=interpret,
+                    vq_state=(jax.device_put(vq_state)
+                              if gen.use_pqc else None),
                 )
             except AssertionError:  # topology the kernel doesn't cover
                 init_mega = None
             if init_mega is not None:
-                @jax.jit
-                def run_mega(cache, frames):
-                    out, new_cache = mega_run(cache, frames[:, 0, :, 0])
-                    return out[:, None, :, None], new_cache
+                if gen.use_pqc:
+                    @jax.jit
+                    def run_mega(cache, frames):
+                        out, new_cache, _codes = mega_run(
+                            cache, frames[:, 0, :, 0])
+                        return out[:, None, :, None], new_cache
+                else:
+                    @jax.jit
+                    def run_mega(cache, frames):
+                        out, new_cache = mega_run(cache, frames[:, 0, :, 0])
+                        return out[:, None, :, None], new_cache
 
                 run_mega.init_cache = init_mega
                 return run_mega
+    if backend == "pallas" and not gen.use_pqc and batch == 1:
         from dl_speech_enhancement_tpu.ops.stream_kernel import (
             make_fused_chunk_step,
         )

@@ -344,3 +344,26 @@ def test_streamer_distinct_devices_pipeline(plain_model, rng):
     assert stats["frames"] == 6
     assert stats["timing_mode"] == "per-side"
     assert np.all(np.isfinite(out))
+
+
+def test_scan_stream_pqc_mega_path_matches_xla(pqc_model, rng):
+    """make_scan_stream with frame_size routes the PQC codec through the
+    mega kernel too (in-kernel projector + RVQ + lookup)."""
+    from dl_speech_enhancement_tpu.stream import make_scan_stream
+
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    frames = jnp.asarray(
+        rng.standard_normal((3, 1, frame, 1)).astype(np.float32) * 0.3)
+
+    run_xla = make_scan_stream(gen, params, vq_state, batch=1, backend="xla")
+    ys_ref, _ = run_xla(run_xla.init_cache(), frames)
+
+    run_mega = make_scan_stream(gen, params, vq_state, batch=1,
+                                backend="pallas", frame_size=frame,
+                                interpret=True)
+    assert run_mega.__name__ == "run_mega"
+    ys, _ = run_mega(run_mega.init_cache(), frames)
+    scale = float(np.max(np.abs(np.asarray(ys_ref)))) + 1e-9
+    np.testing.assert_allclose(np.asarray(ys) / scale,
+                               np.asarray(ys_ref) / scale, atol=2e-2)
