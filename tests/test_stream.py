@@ -255,13 +255,15 @@ def test_streamer_concurrent_sessions_thread_safety(pqc_model, rng):
 
     def run(name):
         s = make()
-        results[name] = s.run_array(audio)
+        # generous drain: under full-suite CPU contention the first jit
+        # compiles can eat most of the default 10 s window (seen flaky)
+        results[name] = s.run_array(audio, drain_timeout=120.0)
 
     threads = [threading.Thread(target=run, args=(f"s{i}",)) for i in range(2)]
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=60)
+        t.join(timeout=300)
     assert set(results) == {"s0", "s1"}
     # identical inputs + identical models => identical produced frames
     def produced(out):
