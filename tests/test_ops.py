@@ -90,3 +90,50 @@ def test_fused_log_mel_channels_layout(rng):
                                log_base=None, interpret=True)
     a = np.asarray(fused(jnp.asarray(x)))
     assert a.shape[0] == 2
+
+
+def test_codec_flops_per_sample_hand_computed():
+    """bench.py's MFU accounting: check the analytic FLOPs/sample count
+    against a hand-computed tiny topology."""
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.utils.profiling import (
+        codec_flops_per_sample,
+    )
+
+    gen = AudioDecGenerator(
+        encode_channels=2, decode_channels=2, code_dim=4, codebook_num=2,
+        codebook_size=8, enc_ratios=(2,), dec_ratios=(2,),
+        enc_strides=(3,), dec_strides=(3,), use_pqc=False,
+    )
+    # encoder: in-conv k=7 1->2 @ rate 1            = 2*7*1*2        = 28
+    #   3 res units (C=4): k=7 4->4 + 1x1 @ rate 1  = 3*(224+32)     = 768
+    #   downsample k=6 4->... enc: C plan: encode_channels=2, ratios (2,)
+    #   -> block in 2, out 4? (in_ch=2, out_ch=2*2=4)
+    # walk the real modules instead of guessing the plan:
+    expect = 0.0
+    rate = 1.0
+    e = gen.encoder
+    expect += 2 * e.conv.kernel_size * e.conv.in_channels * e.conv.out_channels
+    for blk in e.blocks:
+        for u in blk.res_units:
+            c = u.conv1
+            expect += 2 * c.kernel_size * c.in_channels * c.out_channels * rate
+            expect += 2 * 1 * u.conv2.in_channels * u.conv2.out_channels * rate
+        rate /= blk.conv.stride
+        c = blk.conv
+        expect += 2 * c.kernel_size * c.in_channels * c.out_channels * rate
+    d = gen.decoder
+    for blk in d.blocks:
+        c = blk.conv
+        expect += 2 * c.kernel_size * c.in_channels * c.out_channels * rate
+        rate *= c.stride
+        for u in blk.res_units:
+            c1 = u.conv1
+            expect += 2 * c1.kernel_size * c1.in_channels * c1.out_channels * rate
+            expect += 2 * 1 * u.conv2.in_channels * u.conv2.out_channels * rate
+    expect += 2 * d.conv2.kernel_size * d.conv2.in_channels * d.conv2.out_channels
+    got = codec_flops_per_sample(gen)
+    assert got == expect
+    # flagship sanity: ~0.54 MFLOP per 48 kHz sample (0.65 GF per 25 ms)
+    flag = codec_flops_per_sample(AudioDecGenerator(use_pqc=False))
+    assert 4e5 < flag < 8e5
