@@ -665,7 +665,8 @@ def _interleave_matrix(t_in, stride):
 
 def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                              weight_dtype=jnp.bfloat16,
-                             interpret: bool = False, vq_state=None):
+                             interpret: bool = False, vq_state=None,
+                             _debug_skip=None):
     """Multi-stream variant of :func:`make_mega_stream`: B concurrent
     independent streams per dispatch, still ONE Pallas kernel per side.
 
@@ -725,11 +726,11 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
 
     def ecache(name, ctx, lanes, t_rows):
         ecaches.append((name, (ctx, lanes)))
-        escratch.append((name, (bsz, ctx + t_rows, lanes)))
+        escratch.append((name, (bsz, ctx + t_rows, lanes), jnp.float32))
         return ctx
 
-    def escratch_extra(name, shape):
-        escratch.append((name, shape))
+    def escratch_extra(name, shape, dtype=jnp.float32):
+        escratch.append((name, shape, dtype))
 
     # input conv (k=7, 1 -> C0), folded output
     w_in = np.asarray(enc.conv.weight(enc_p["conv"]))  # (7, 1, C0)
@@ -819,6 +820,19 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                                           keepdims=True).astype(np.float32))
             econsts.add(f"vqT{l}", embed[l].T.astype(np.float32))
 
+    # staging buffers: Mosaic cannot lower cross-page reshapes when a
+    # page's row count is below one sublane tile (<8 rows) — the deep
+    # levels of the flagship (z_rows=4) hit exactly that (observed as a
+    # lower_to_llo.cc 'd >> 32 == 0' check crash). fw()/unflat() below
+    # route those through per-page 2D copies via these buffers instead.
+    max_el = max(
+        [l for _, (c, l) in ecaches] + [fold * c0, enc.out_channels]
+        + [blk.conv.out_channels for blk in enc.blocks])
+    escratch_extra("_st2", (bsz * 8, max_el))
+    escratch_extra("_st3", (bsz, 8, max_el))
+    if use_pqc and z_rows < 8:
+        escratch_extra("_sti3", (bsz, 8, n_books), jnp.int32)
+
     ecache_names = [n for n, _ in ecaches]
     n_ec, n_ecache = len(econsts.arrays), len(ecaches)
 
@@ -830,7 +844,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         co = refs[2 + n_ec + n_ecache : 2 + n_ec + n_ecache + n_ecache]
         scratch = refs[2 + n_ec + 2 * n_ecache :]
         C = {n: cr[i] for i, n in enumerate(econsts.names)}
-        S = {n: scratch[i] for i, (n, _) in enumerate(escratch)}
+        S = {n: scratch[i] for i, (n, *_) in enumerate(escratch)}
         CI = {n: ci[i] for i, n in enumerate(ecache_names)}
         CO = {n: co[i] for i, n in enumerate(ecache_names)}
         i = pl.program_id(0)
@@ -852,9 +866,29 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+        st2 = S["_st2"]
+        st3 = S["_st3"]
+
         def fw(v3, o, rn):
-            """Window rows o:o+rn of every stream, flattened for the MXU."""
-            return v3[:, o : o + rn, :].reshape(bsz * rn, v3.shape[2])
+            """Window rows o:o+rn of every stream, flattened for the MXU.
+            Cross-page reshape needs >=8 rows/page (sublane tile); below
+            that, stage through per-page 2D copies."""
+            ch = v3.shape[2]
+            if rn >= 8:
+                return v3[:, o : o + rn, :].reshape(bsz * rn, ch)
+            for b in range(bsz):
+                st2[b * rn : (b + 1) * rn, 0:ch] = (
+                    v3[b, o : o + rn, :].astype(jnp.float32))
+            return st2[0 : bsz * rn, 0:ch].astype(v3.dtype)
+
+        def unflat(f2, rn):
+            """(bsz*rn, ch) -> (bsz, rn, ch), staged when rn < 8."""
+            ch = f2.shape[1]
+            if rn >= 8:
+                return f2.reshape(bsz, rn, ch)
+            for b in range(bsz):
+                st3[b, 0:rn, 0:ch] = f2[b * rn : (b + 1) * rn, :]
+            return st3[:, 0:rn, 0:ch]
 
         # input conv (folded)
         v = site("cin", ctx_in, x_ref[0].astype(jnp.float32))
@@ -862,7 +896,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         h = dot(fw(vw, 0, rows0), C["in_A"][0])
         for o in range(1, ctx_in + 1):
             h += dot(fw(vw, o, rows0), C["in_A"][o])
-        h = h.reshape(bsz, rows0, fold * c0)
+        h = unflat(h, rows0)
 
         for info in enc_plan:
             bi, s = info["bi"], info["stride"]
@@ -880,7 +914,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                     for o in range(1, pad_rows + 1):
                         acc += dot(fw(a, o, rn), m1[o])
                     y = dot(_elu(acc).astype(wd), C[m2n][...])
-                    v = v[:, pad_rows:, :] + y.reshape(bsz, rn, ch)
+                    v = v[:, pad_rows:, :] + unflat(y, rn)
                     r = rn
             else:
                 for w1n, w2n, d in info["units"]:
@@ -892,7 +926,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                     for j in range(1, 7):
                         acc += dot(fw(a, j * d, rn), w1[j])
                     y = dot(_elu(acc).astype(wd), C[w2n][...])
-                    v = v[:, pad:, :] + y.reshape(bsz, rn, ch)
+                    v = v[:, pad:, :] + unflat(y, rn)
                     r = rn
             # downsample
             if info["folded"]:
@@ -901,7 +935,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                 h = dot(fw(vw, 0, t_out), C["e0dB"][0])
                 for o in (1, 2):
                     h += dot(fw(vw, o, t_out), C["e0dB"][o])
-                h = (h + C["e0db"][...]).reshape(bsz, t_out, -1)
+                h = unflat(h + C["e0db"][...], t_out)
             else:
                 v = site(f"e{bi}d", 2 * s - 1, v)
                 pmat = C[f"e{bi}P"][...]
@@ -917,7 +951,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                     t = (dot(fw(gp, 0, t_out), w[p])
                          + dot(fw(gp, 1, t_out), w[s + p]))
                     h = t if h is None else h + t
-                h = (h + C[f"e{bi}db"][...]).reshape(bsz, t_out, -1)
+                h = unflat(h + C[f"e{bi}db"][...], t_out)
         if not use_pqc:
             z_ref[0] = h
             return
@@ -941,8 +975,14 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
             onehot = (lane == ind[:, None]).astype(jnp.float32)
             residual = residual - dot(onehot, C[f"vqT{l}"][...])
             cols.append((ind + l * book_k)[:, None])
-        z_ref[0] = jnp.concatenate(cols, axis=1).reshape(
-            bsz, z_rows, n_books)
+        idx_flat = jnp.concatenate(cols, axis=1)  # (bsz*z_rows, L) int32
+        if z_rows >= 8:
+            z_ref[0] = idx_flat.reshape(bsz, z_rows, n_books)
+        else:
+            sti3 = S["_sti3"]
+            for b in range(bsz):
+                sti3[b, 0:z_rows, :] = idx_flat[b * z_rows : (b + 1) * z_rows, :]
+            z_ref[0] = sti3[:, 0:z_rows, :]
 
     # ---------------- decoder build ----------------
     dconsts = _Bag()
@@ -951,10 +991,10 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
 
     def dcache(name, ctx, lanes, t_rows):
         dcaches.append((name, (ctx, lanes)))
-        dscratch.append((name, (bsz, ctx + t_rows, lanes)))
+        dscratch.append((name, (bsz, ctx + t_rows, lanes), jnp.float32))
 
-    def dscratch_extra(name, shape):
-        dscratch.append((name, shape))
+    def dscratch_extra(name, shape, dtype=jnp.float32):
+        dscratch.append((name, shape, dtype))
 
     if use_pqc:
         for l in range(n_books):
@@ -1040,6 +1080,16 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
     out_rows = t_rows
     dcache("cout", ctx_out, fold_d * c_last, out_rows)
 
+    max_dl = max(
+        [l for _, (c, l) in dcaches] + [fold_d * c_last, fold_d]
+        + [blk.conv.out_channels * (fold_d if bi == n_blocks - 1 else 1)
+           for bi, blk in enumerate(dec.blocks)]
+        + [blk.conv.in_channels for blk in dec.blocks])
+    dscratch_extra("_st2", (bsz * 8, max_dl))
+    dscratch_extra("_st3", (bsz, 8, max_dl))
+    if use_pqc and z_rows < 8:
+        dscratch_extra("_sti2", (bsz * 8, n_books), jnp.int32)
+
     dcache_names = [n for n, _ in dcaches]
     n_dc, n_dcache = len(dconsts.arrays), len(dcaches)
 
@@ -1051,7 +1101,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         co = refs[2 + n_dc + n_dcache : 2 + n_dc + n_dcache + n_dcache]
         scratch = refs[2 + n_dc + 2 * n_dcache :]
         C = {n: cr[i] for i, n in enumerate(dconsts.names)}
-        S = {n: scratch[i] for i, (n, _) in enumerate(dscratch)}
+        S = {n: scratch[i] for i, (n, *_) in enumerate(dscratch)}
         CI = {n: ci[i] for i, n in enumerate(dcache_names)}
         CO = {n: co[i] for i, n in enumerate(dcache_names)}
         i = pl.program_id(0)
@@ -1073,11 +1123,39 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
+        st2 = S["_st2"]
+        st3 = S["_st3"]
+
         def fw(v3, o, rn):
-            return v3[:, o : o + rn, :].reshape(bsz * rn, v3.shape[2])
+            """Window rows o:o+rn of every stream, flattened for the MXU.
+            Cross-page reshape needs >=8 rows/page (sublane tile); below
+            that, stage through per-page 2D copies."""
+            ch = v3.shape[2]
+            if rn >= 8:
+                return v3[:, o : o + rn, :].reshape(bsz * rn, ch)
+            for b in range(bsz):
+                st2[b * rn : (b + 1) * rn, 0:ch] = (
+                    v3[b, o : o + rn, :].astype(jnp.float32))
+            return st2[0 : bsz * rn, 0:ch].astype(v3.dtype)
+
+        def unflat(f2, rn):
+            """(bsz*rn, ch) -> (bsz, rn, ch), staged when rn < 8."""
+            ch = f2.shape[1]
+            if rn >= 8:
+                return f2.reshape(bsz, rn, ch)
+            for b in range(bsz):
+                st3[b, 0:rn, 0:ch] = f2[b * rn : (b + 1) * rn, :]
+            return st3[:, 0:rn, 0:ch]
 
         if use_pqc:
-            idx = z_ref[0].reshape(bsz * z_rows, n_books)
+            if z_rows >= 8:
+                idx = z_ref[0].reshape(bsz * z_rows, n_books)
+            else:
+                sti2 = S["_sti2"]
+                i3 = z_ref[0]
+                for b in range(bsz):
+                    sti2[b * z_rows : (b + 1) * z_rows, :] = i3[b]
+                idx = sti2[0 : bsz * z_rows, :]
             nrows = bsz * z_rows
             lane = lax.broadcasted_iota(jnp.int32, (nrows, book_k), 1)
             zq = None
@@ -1086,12 +1164,12 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                 onehot = (lane == ind[:, None]).astype(jnp.float32)
                 q = dot(onehot, C[f"cbk{l}"][...])
                 zq = q if zq is None else zq + q
-            v = site("dc1", k_d1 - 1, zq.reshape(bsz, z_rows, code_dim))
+            v = site("dc1", k_d1 - 1, unflat(zq, z_rows))
             vw = v.astype(wd)
             h = dot(fw(vw, 0, z_rows), C["dc1W"][0])
             for j in range(1, k_d1):
                 h += dot(fw(vw, j, z_rows), C["dc1W"][j])
-            h = h.reshape(bsz, z_rows, -1)
+            h = unflat(h, z_rows)
         else:
             h = z_ref[0].astype(jnp.float32)
         for info in dec_plan:
@@ -1100,17 +1178,16 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
             v = site(f"d{bi}u", 1, h)
             vw = v.astype(wd)
             if info["last"]:
-                h = (dot(fw(vw, 0, t_in), C["duM0"][...])
-                     + dot(fw(vw, 1, t_in), C["duM1"][...])
-                     + C["dub"][...]).reshape(bsz, t_in, -1)
+                h = unflat(dot(fw(vw, 0, t_in), C["duM0"][...])
+                           + dot(fw(vw, 1, t_in), C["duM1"][...])
+                           + C["dub"][...], t_in)
             else:
                 w = C[f"d{bi}uW"]
                 mbuf = S[f"d{bi}M"]  # phase-major staging (B, s*t_in, C)
                 for p in range(s):
                     yp = (dot(fw(vw, 0, t_in), w[cpad - p])
                           + dot(fw(vw, 1, t_in), w[cpad + s - p]))
-                    mbuf[:, p * t_in : (p + 1) * t_in, :] = yp.reshape(
-                        bsz, t_in, -1)
+                    mbuf[:, p * t_in : (p + 1) * t_in, :] = unflat(yp, t_in)
                 imat = C[f"d{bi}I"][...]
                 ybuf = S[f"d{bi}Y"]
                 for b in range(bsz):
@@ -1128,7 +1205,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                     for o in range(1, pad_rows + 1):
                         acc += dot(fw(a, o, rn), m1[o])
                     y = dot(_elu(acc).astype(wd), C[m2n][...])
-                    v = v[:, pad_rows:, :] + y.reshape(bsz, rn, ch)
+                    v = v[:, pad_rows:, :] + unflat(y, rn)
                     r = rn
             else:
                 for w1n, w2n, d in info["units"]:
@@ -1140,7 +1217,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                     for j in range(1, 7):
                         acc += dot(fw(a, j * d, rn), w1[j])
                     y = dot(_elu(acc).astype(wd), C[w2n][...])
-                    v = v[:, pad:, :] + y.reshape(bsz, rn, ch)
+                    v = v[:, pad:, :] + unflat(y, rn)
                     r = rn
             h = v
 
@@ -1149,7 +1226,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         y = dot(fw(vw, 0, out_rows), C["outO"][0])
         for o in range(1, ctx_out + 1):
             y += dot(fw(vw, o, out_rows), C["outO"][o])
-        y_ref[0] = y.reshape(bsz, out_rows, fold_d)
+        y_ref[0] = unflat(y, out_rows)
 
     # ---------------- wrappers ----------------
     def init_cache():
@@ -1182,11 +1259,13 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                        + [jax.ShapeDtypeStruct(shape, jnp.float32)
                           for _, shape in
                           [(nm, (bsz,) + sh) for nm, sh in ecaches]]),
-            scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
-                            for _, shape in escratch],
+            scratch_shapes=[pltpu.VMEM(shape, dt)
+                            for _, shape, dt in escratch],
             interpret=interpret,
         )(xf, *econsts.arrays, *[cache[nm] for nm in ecache_names])
         z, *enc_new = enc_out
+        if _debug_skip == "dec":
+            return z, dict(zip(ecache_names, enc_new))
         dec_out = pl.pallas_call(
             dec_kernel,
             grid=(n,),
@@ -1201,8 +1280,8 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                        + [jax.ShapeDtypeStruct(shape, jnp.float32)
                           for _, shape in
                           [(nm, (bsz,) + sh) for nm, sh in dcaches]]),
-            scratch_shapes=[pltpu.VMEM(shape, jnp.float32)
-                            for _, shape in dscratch],
+            scratch_shapes=[pltpu.VMEM(shape, dt)
+                            for _, shape, dt in dscratch],
             interpret=interpret,
         )(z, *dconsts.arrays, *[cache[nm] for nm in dcache_names])
         yf, *dec_new = dec_out
