@@ -724,9 +724,15 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
     ecaches = []   # (name, (ctx, lanes)) -> cache arrays (B, ctx, lanes)
     escratch = []  # (name, 3d shape)
 
+    # full-extent ops on 3-D (multi-page) refs crash the Mosaic lowering
+    # when the ref has only 1-2 sublane rows; caches that small are padded
+    # to 8 rows (real tail in the LAST ctx rows, zero prefix)
+    def _pctx(ctx):
+        return ctx if ctx >= 3 else 8
+
     def ecache(name, ctx, lanes, t_rows):
         ecaches.append((name, (ctx, lanes)))
-        escratch.append((name, (bsz, ctx + t_rows, lanes), jnp.float32))
+        escratch.append((name, (bsz, _pctx(ctx), lanes), jnp.float32))
         return ctx
 
     def escratch_extra(name, shape, dtype=jnp.float32):
@@ -746,6 +752,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                     a_in[o, p, q * c0 : (q + 1) * c0] = w_in[j, 0]
     econsts.add("in_A", a_in.astype(wd))
     ecache("cin", ctx_in, fold, rows0)
+    escratch_extra("_h0", (bsz, rows0, fold * c0))
 
     enc_plan = []
     t_rows = rows0
@@ -820,19 +827,6 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                                           keepdims=True).astype(np.float32))
             econsts.add(f"vqT{l}", embed[l].T.astype(np.float32))
 
-    # staging buffers: Mosaic cannot lower cross-page reshapes when a
-    # page's row count is below one sublane tile (<8 rows) — the deep
-    # levels of the flagship (z_rows=4) hit exactly that (observed as a
-    # lower_to_llo.cc 'd >> 32 == 0' check crash). fw()/unflat() below
-    # route those through per-page 2D copies via these buffers instead.
-    max_el = max(
-        [l for _, (c, l) in ecaches] + [fold * c0, enc.out_channels]
-        + [blk.conv.out_channels for blk in enc.blocks])
-    escratch_extra("_st2", (bsz * 8, max_el))
-    escratch_extra("_st3", (bsz, 8, max_el))
-    if use_pqc and z_rows < 8:
-        escratch_extra("_sti3", (bsz, 8, n_books), jnp.int32)
-
     ecache_names = [n for n, _ in ecaches]
     n_ec, n_ecache = len(econsts.arrays), len(ecaches)
 
@@ -850,53 +844,58 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         i = pl.program_id(0)
 
         def site(name, ctx, x_val):
-            buf = S[name]
-
-            @pl.when(i == 0)
-            def _():
-                buf[:, 0:ctx, :] = CI[name][...]
-
-            buf[:, ctx:, :] = x_val
-            v = buf[...]
+            """Streaming cache site, value-based: the Mosaic lowering
+            crashes ('d >> 32 == 0' in lower_to_llo.cc) on 3-D multi-page
+            ref loads/stores that are sub-extent, have <=8 lanes, or have
+            only 1-2 rows — so the cache scratch holds the (row-padded)
+            context and is only ever accessed full-extent; the [cache; x]
+            composition, tail extraction and i==0 seeding happen in value
+            space."""
+            cbuf = S[name]
+            pctx = cbuf.shape[1]
+            cfull = jnp.where(i == 0, CI[name][...], cbuf[...])
+            v = jnp.concatenate([cfull[:, pctx - ctx :, :], x_val], axis=1)
             tail = v[:, v.shape[1] - ctx :, :]
-            buf[:, 0:ctx, :] = tail
+            if pctx != ctx:
+                tail = jnp.concatenate(
+                    [jnp.zeros((bsz, pctx - ctx, v.shape[2]), v.dtype),
+                     tail], axis=1)
+            cbuf[...] = tail
             CO[name][...] = tail
             return v
 
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        st2 = S["_st2"]
-        st3 = S["_st3"]
-
         def fw(v3, o, rn):
-            """Window rows o:o+rn of every stream, flattened for the MXU.
-            Cross-page reshape needs >=8 rows/page (sublane tile); below
-            that, stage through per-page 2D copies."""
-            ch = v3.shape[2]
-            if rn >= 8:
-                return v3[:, o : o + rn, :].reshape(bsz * rn, ch)
-            for b in range(bsz):
-                st2[b * rn : (b + 1) * rn, 0:ch] = (
-                    v3[b, o : o + rn, :].astype(jnp.float32))
-            return st2[0 : bsz * rn, 0:ch].astype(v3.dtype)
+            """Window rows o:o+rn of every stream, flattened for the MXU
+            (value-space reshape; page collapse is fine on values)."""
+            return v3[:, o : o + rn, :].reshape(bsz * rn, v3.shape[2])
 
         def unflat(f2, rn):
-            """(bsz*rn, ch) -> (bsz, rn, ch), staged when rn < 8."""
-            ch = f2.shape[1]
-            if rn >= 8:
-                return f2.reshape(bsz, rn, ch)
-            for b in range(bsz):
-                st3[b, 0:rn, 0:ch] = f2[b * rn : (b + 1) * rn, :]
-            return st3[:, 0:rn, 0:ch]
+            return f2.reshape(bsz, rn, f2.shape[1])
 
-        # input conv (folded)
-        v = site("cin", ctx_in, x_ref[0].astype(jnp.float32))
-        vw = v.astype(wd)
-        h = dot(fw(vw, 0, rows0), C["in_A"][0])
-        for o in range(1, ctx_in + 1):
-            h += dot(fw(vw, o, rows0), C["in_A"][o])
-        h = unflat(h, rows0)
+        # input conv (folded), page by page: lane counts below ~16 (the
+        # 3-lane audio layout) crash the multi-page lowering, so the cin
+        # cache site and the tap matmuls run 2-D per stream
+        hbuf = S["_h0"]
+        pcin = S["cin"].shape[1]
+        for b in range(bsz):
+            cb = jnp.where(i == 0, CI["cin"][b], S["cin"][b])
+            vb = jnp.concatenate([cb[pcin - ctx_in :, :],
+                                  x_ref[0, b].astype(jnp.float32)], axis=0)
+            tb = vb[vb.shape[0] - ctx_in :, :]
+            tb = jnp.concatenate(
+                [jnp.zeros((pcin - ctx_in, vb.shape[1]), jnp.float32), tb],
+                axis=0) if pcin != ctx_in else tb
+            S["cin"][b] = tb
+            CO["cin"][b] = tb
+            vw = vb.astype(wd)
+            hb = dot(vw[0:rows0], C["in_A"][0])
+            for o in range(1, ctx_in + 1):
+                hb += dot(vw[o : o + rows0], C["in_A"][o])
+            hbuf[b] = hb
+        h = hbuf[...]
 
         for info in enc_plan:
             bi, s = info["bi"], info["stride"]
@@ -976,13 +975,8 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
             residual = residual - dot(onehot, C[f"vqT{l}"][...])
             cols.append((ind + l * book_k)[:, None])
         idx_flat = jnp.concatenate(cols, axis=1)  # (bsz*z_rows, L) int32
-        if z_rows >= 8:
-            z_ref[0] = idx_flat.reshape(bsz, z_rows, n_books)
-        else:
-            sti3 = S["_sti3"]
-            for b in range(bsz):
-                sti3[b, 0:z_rows, :] = idx_flat[b * z_rows : (b + 1) * z_rows, :]
-            z_ref[0] = sti3[:, 0:z_rows, :]
+        for b in range(bsz):  # 8-lane int32: store page by page
+            z_ref[0, b] = idx_flat[b * z_rows : (b + 1) * z_rows, :]
 
     # ---------------- decoder build ----------------
     dconsts = _Bag()
@@ -991,7 +985,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
 
     def dcache(name, ctx, lanes, t_rows):
         dcaches.append((name, (ctx, lanes)))
-        dscratch.append((name, (bsz, ctx + t_rows, lanes), jnp.float32))
+        dscratch.append((name, (bsz, _pctx(ctx), lanes), jnp.float32))
 
     def dscratch_extra(name, shape, dtype=jnp.float32):
         dscratch.append((name, shape, dtype))
@@ -1058,7 +1052,6 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
             info["units"] = units
             chain_ctx = sum(6 * d for _, _, d in units)
             dcache(f"d{bi}ch", chain_ctx, cout_ch, t_out)
-            dscratch_extra(f"d{bi}M", (bsz, t_out, cout_ch))
             dscratch_extra(f"d{bi}Y", (bsz, t_out, cout_ch))
         info["chain_ctx"] = chain_ctx
         info["t_out"] = t_out
@@ -1080,16 +1073,6 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
     out_rows = t_rows
     dcache("cout", ctx_out, fold_d * c_last, out_rows)
 
-    max_dl = max(
-        [l for _, (c, l) in dcaches] + [fold_d * c_last, fold_d]
-        + [blk.conv.out_channels * (fold_d if bi == n_blocks - 1 else 1)
-           for bi, blk in enumerate(dec.blocks)]
-        + [blk.conv.in_channels for blk in dec.blocks])
-    dscratch_extra("_st2", (bsz * 8, max_dl))
-    dscratch_extra("_st3", (bsz, 8, max_dl))
-    if use_pqc and z_rows < 8:
-        dscratch_extra("_sti2", (bsz * 8, n_books), jnp.int32)
-
     dcache_names = [n for n, _ in dcaches]
     n_dc, n_dcache = len(dconsts.arrays), len(dcaches)
 
@@ -1107,55 +1090,39 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         i = pl.program_id(0)
 
         def site(name, ctx, x_val):
-            buf = S[name]
-
-            @pl.when(i == 0)
-            def _():
-                buf[:, 0:ctx, :] = CI[name][...]
-
-            buf[:, ctx:, :] = x_val
-            v = buf[...]
+            """Streaming cache site, value-based: the Mosaic lowering
+            crashes ('d >> 32 == 0' in lower_to_llo.cc) on 3-D multi-page
+            ref loads/stores that are sub-extent, have <=8 lanes, or have
+            only 1-2 rows — so the cache scratch holds the (row-padded)
+            context and is only ever accessed full-extent; the [cache; x]
+            composition, tail extraction and i==0 seeding happen in value
+            space."""
+            cbuf = S[name]
+            pctx = cbuf.shape[1]
+            cfull = jnp.where(i == 0, CI[name][...], cbuf[...])
+            v = jnp.concatenate([cfull[:, pctx - ctx :, :], x_val], axis=1)
             tail = v[:, v.shape[1] - ctx :, :]
-            buf[:, 0:ctx, :] = tail
+            if pctx != ctx:
+                tail = jnp.concatenate(
+                    [jnp.zeros((bsz, pctx - ctx, v.shape[2]), v.dtype),
+                     tail], axis=1)
+            cbuf[...] = tail
             CO[name][...] = tail
             return v
 
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        st2 = S["_st2"]
-        st3 = S["_st3"]
-
         def fw(v3, o, rn):
-            """Window rows o:o+rn of every stream, flattened for the MXU.
-            Cross-page reshape needs >=8 rows/page (sublane tile); below
-            that, stage through per-page 2D copies."""
-            ch = v3.shape[2]
-            if rn >= 8:
-                return v3[:, o : o + rn, :].reshape(bsz * rn, ch)
-            for b in range(bsz):
-                st2[b * rn : (b + 1) * rn, 0:ch] = (
-                    v3[b, o : o + rn, :].astype(jnp.float32))
-            return st2[0 : bsz * rn, 0:ch].astype(v3.dtype)
+            """Window rows o:o+rn of every stream, flattened for the MXU
+            (value-space reshape; page collapse is fine on values)."""
+            return v3[:, o : o + rn, :].reshape(bsz * rn, v3.shape[2])
 
         def unflat(f2, rn):
-            """(bsz*rn, ch) -> (bsz, rn, ch), staged when rn < 8."""
-            ch = f2.shape[1]
-            if rn >= 8:
-                return f2.reshape(bsz, rn, ch)
-            for b in range(bsz):
-                st3[b, 0:rn, 0:ch] = f2[b * rn : (b + 1) * rn, :]
-            return st3[:, 0:rn, 0:ch]
+            return f2.reshape(bsz, rn, f2.shape[1])
 
         if use_pqc:
-            if z_rows >= 8:
-                idx = z_ref[0].reshape(bsz * z_rows, n_books)
-            else:
-                sti2 = S["_sti2"]
-                i3 = z_ref[0]
-                for b in range(bsz):
-                    sti2[b * z_rows : (b + 1) * z_rows, :] = i3[b]
-                idx = sti2[0 : bsz * z_rows, :]
+            idx = jnp.concatenate([z_ref[0, b] for b in range(bsz)], axis=0)
             nrows = bsz * z_rows
             lane = lax.broadcasted_iota(jnp.int32, (nrows, book_k), 1)
             zq = None
@@ -1183,15 +1150,16 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                            + C["dub"][...], t_in)
             else:
                 w = C[f"d{bi}uW"]
-                mbuf = S[f"d{bi}M"]  # phase-major staging (B, s*t_in, C)
+                phases = []
                 for p in range(s):
                     yp = (dot(fw(vw, 0, t_in), w[cpad - p])
                           + dot(fw(vw, 1, t_in), w[cpad + s - p]))
-                    mbuf[:, p * t_in : (p + 1) * t_in, :] = unflat(yp, t_in)
+                    phases.append(unflat(yp, t_in))
+                pm = jnp.concatenate(phases, axis=1)  # phase-major (B,s*t_in,C)
                 imat = C[f"d{bi}I"][...]
                 ybuf = S[f"d{bi}Y"]
                 for b in range(bsz):
-                    ybuf[b] = dot(imat, mbuf[b])
+                    ybuf[b] = dot(imat, pm[b])
                 h = ybuf[...] + C[f"d{bi}ub"][...]
             v = site(f"d{bi}ch", info["chain_ctx"], h)
             r = v.shape[1]
@@ -1226,13 +1194,14 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         y = dot(fw(vw, 0, out_rows), C["outO"][0])
         for o in range(1, ctx_out + 1):
             y += dot(fw(vw, o, out_rows), C["outO"][o])
-        y_ref[0] = unflat(y, out_rows)
+        for b in range(bsz):  # 3-lane audio: store page by page
+            y_ref[0, b] = y[b * out_rows : (b + 1) * out_rows, :]
 
     # ---------------- wrappers ----------------
     def init_cache():
         cache = {}
         for name, (ctx, lanes) in ecaches + dcaches:
-            cache[name] = jnp.zeros((bsz, ctx, lanes), jnp.float32)
+            cache[name] = jnp.zeros((bsz, _pctx(ctx), lanes), jnp.float32)
         return cache
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1256,9 +1225,9 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                        + [vmem] * n_ecache),
             out_shape=([jax.ShapeDtypeStruct((n, bsz, z_rows, z_lanes),
                                              z_dtype)]
-                       + [jax.ShapeDtypeStruct(shape, jnp.float32)
-                          for _, shape in
-                          [(nm, (bsz,) + sh) for nm, sh in ecaches]]),
+                       + [jax.ShapeDtypeStruct((bsz, _pctx(c), l),
+                                               jnp.float32)
+                          for _, (c, l) in ecaches]),
             scratch_shapes=[pltpu.VMEM(shape, dt)
                             for _, shape, dt in escratch],
             interpret=interpret,
@@ -1277,9 +1246,9 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                        + [vmem] * n_dcache),
             out_shape=([jax.ShapeDtypeStruct((n, bsz, out_rows, fold_d),
                                              jnp.float32)]
-                       + [jax.ShapeDtypeStruct(shape, jnp.float32)
-                          for _, shape in
-                          [(nm, (bsz,) + sh) for nm, sh in dcaches]]),
+                       + [jax.ShapeDtypeStruct((bsz, _pctx(c), l),
+                                               jnp.float32)
+                          for _, (c, l) in dcaches]),
             scratch_shapes=[pltpu.VMEM(shape, dt)
                             for _, shape, dt in dscratch],
             interpret=interpret,
