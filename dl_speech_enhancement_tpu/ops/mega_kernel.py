@@ -692,6 +692,15 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
     (+ ``codes (N, B, chunk/hop, L)`` with PQC). Per-frame semantics match
     ``gen.encode_step``/``decode_step`` per stream, like the single-stream
     kernel.
+
+    Status (measured, v5e): the flagship topology compiles only up to
+    B=4 (B=6 exceeds the 16 MB scoped-VMEM stack, B=8/16 OOM the Mosaic
+    compiler) and runs 41.6 us/stream-frame there — slower than both the
+    single-stream kernel (21.9 us) and the XLA batch path (12.9 us/stream
+    at batch 16): the value-space staging the <8-sublane-row Mosaic
+    workaround forces outweighs the extra MXU rows. Kept as a tested
+    exact-equivalent experimental path; ``make_scan_stream`` uses XLA for
+    ``batch > 1``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
