@@ -160,6 +160,40 @@ def main():
                  + 2 * n_params / (n_frames * 4))  # bf16 weights / dispatch
     hbm_gb_s = hbm_frame / t_single / 1e9
 
+    # PQC (symAD) codec single-stream: the full encode->RVQ->decode chain
+    # through the same mega-kernel path (reference AudioDec v1 runs this at
+    # ~74 ms per 25 ms frame on its laptop baseline).
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator as _G
+    pqc_gen = _G(use_pqc=True)
+    pqc_params, pqc_vq = pqc_gen.init(jax.random.PRNGKey(0))
+    pqc_init_cache, pqc_run = make_mega_stream(
+        pqc_gen, pqc_params, chunk=frame_size, vq_state=pqc_vq)
+
+    @jax.jit
+    def run_stream_pqc(cache, frames):
+        out, _, codes = pqc_run(cache, frames)
+        return jnp.sum(jnp.square(out)) + jnp.sum(codes)
+
+    def fit_pqc_once(trials=3):
+        n_hi = n_frames * 4
+        n1, n2 = n_hi // 4, n_hi
+
+        def timed(n):
+            cache = pqc_init_cache()
+            frames = jax.device_put(
+                rng.standard_normal((n, frame_size)).astype(np.float32))
+            _ = float(run_stream_pqc(cache, frames))
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                _ = float(run_stream_pqc(cache, frames))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(n2) - timed(n1)) / (n2 - n1)
+
+    t_pqc, spread_pqc = median_spread([fit_pqc_once() for _ in range(N_FITS)])
+
     # multi-stream batching (XLA path; streams/chip metric). Swept on-chip
     # 16..1024: per-stream time keeps improving to batch 128 (MXU rows),
     # then regresses — 128 is the serving sweet spot, 16 kept for
@@ -234,6 +268,9 @@ def main():
             "streams_128_frame_ms": round(t_batch_hi * 1e3, 3),
             "streams_128_spread_pct": round(spread_batch_hi, 1),
             "realtime_streams_per_chip_at_128": round(realtime_streams_hi, 1),
+            "pqc_frame_us": round(t_pqc * 1e6, 2),
+            "pqc_frame_us_spread_pct": round(spread_pqc, 1),
+            "pqc_x_realtime": round(frame_time / t_pqc, 1),
             "offline_denoise_x_realtime": round(offline_x_rt, 1),
             "single_dispatch_latency_ms": round(dispatch_latency_ms, 2),
         },
