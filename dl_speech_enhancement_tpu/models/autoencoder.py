@@ -129,10 +129,11 @@ class Encoder:
 
     def __init__(self, input_channels=1, encode_channels=32,
                  channel_ratios=(2, 4, 8, 16), strides=(3, 4, 5, 5),
-                 kernel_size=7, bias=True, mode="causal"):
+                 kernel_size=7, bias=True, mode="causal", remat=False):
         assert len(channel_ratios) == len(strides)
         conv_cls = CausalConv1d if mode == "causal" else Conv1d
         self.conv = conv_cls(input_channels, encode_channels, kernel_size, bias=False)
+        self.remat = remat
         self.blocks = []
         in_ch = encode_channels
         for ratio, stride in zip(channel_ratios, strides):
@@ -154,7 +155,10 @@ class Encoder:
     def __call__(self, p, x):
         x = self.conv(p["conv"], x)
         for b, bp in zip(self.blocks, p["blocks"]):
-            x = b(bp, x)
+            # remat: store only the block-boundary activations and recompute
+            # the ~16 intra-block intermediates in the backward pass —
+            # required to fit large-batch (>=64 x 1 s) training in 16 GB HBM
+            x = jax.checkpoint(b.__call__)(bp, x) if self.remat else b(bp, x)
         return x
 
     def init_cache(self, batch):
@@ -227,10 +231,12 @@ class Decoder:
 
     def __init__(self, code_dim=64, output_channels=1, decode_channels=32,
                  channel_ratios=(16, 8, 4, 2), strides=(5, 5, 4, 3),
-                 kernel_size=7, bias=True, mode="causal", use_input_conv=True):
+                 kernel_size=7, bias=True, mode="causal", use_input_conv=True,
+                 remat=False):
         assert len(channel_ratios) == len(strides)
         conv_cls = CausalConv1d if mode == "causal" else Conv1d
         self.use_input_conv = use_input_conv
+        self.remat = remat
         if use_input_conv:
             self.conv1 = conv_cls(code_dim, decode_channels * channel_ratios[0],
                                   kernel_size, bias=False)
@@ -255,7 +261,8 @@ class Decoder:
     def __call__(self, p, z):
         x = self.conv1(p["conv1"], z) if self.use_input_conv else z
         for b, bp in zip(self.blocks, p["blocks"]):
-            x = b(bp, x)
+            # see Encoder.__call__: trade recompute for activation memory
+            x = jax.checkpoint(b.__call__)(bp, x) if self.remat else b(bp, x)
         return self.conv2(p["conv2"], x)
 
     def init_cache(self, batch):
@@ -321,7 +328,7 @@ class AudioDecGenerator:
                  enc_ratios=(2, 4, 8, 16), dec_ratios=(16, 8, 4, 2),
                  enc_strides=(3, 4, 5, 5), dec_strides=(5, 5, 4, 3),
                  mode="causal", codec="audiodec", projector="conv1d",
-                 quantier="residual_vq", use_pqc=True):
+                 quantier="residual_vq", use_pqc=True, remat=False):
         if codec != "audiodec":
             raise NotImplementedError(f"Codec ({codec}) is not supported!")
         if projector not in ("conv1d",):
@@ -333,10 +340,10 @@ class AudioDecGenerator:
         self.input_channels = input_channels
         self.codebook_num = codebook_num
         self.encoder = Encoder(input_channels, encode_channels, enc_ratios,
-                               enc_strides, 7, bias, mode)
+                               enc_strides, 7, bias, mode, remat=remat)
         self.decoder = Decoder(code_dim, output_channels, decode_channels,
                                dec_ratios, dec_strides, 7, bias, mode,
-                               use_input_conv=use_pqc)
+                               use_input_conv=use_pqc, remat=remat)
         if use_pqc:
             self.projector = Projector(self.encoder.out_channels, code_dim,
                                        3, 1, False, mode)

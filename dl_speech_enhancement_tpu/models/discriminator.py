@@ -113,6 +113,11 @@ class HiFiGANMultiPeriodDiscriminator:
     def __call__(self, p, x):
         return [d(dp, x) for d, dp in zip(self.discriminators, p["discriminators"])]
 
+    def apply_sub(self, p, i, x):
+        """Feature list of period discriminator ``i`` alone (same result as
+        ``__call__(p, x)[i]``) — lets trainers rematerialize per sub-D."""
+        return self.discriminators[i](p["discriminators"][i], x)
+
 
 def _clean_mpd(params: dict) -> dict:
     """Translate reference YAML keys to constructor args."""
@@ -223,6 +228,13 @@ class HiFiGANMultiScaleDiscriminator:
             outs.append(d(dp, x))
             x = _avg_pool1d(x, **self.pool_params)
         return outs
+
+    def apply_sub(self, p, i, x):
+        """Feature list of scale ``i`` alone (same pre-pooling as
+        ``__call__``) — lets trainers rematerialize per sub-D."""
+        for _ in range(i):
+            x = _avg_pool1d(x, **self.pool_params)
+        return self.discriminators[i](p["discriminators"][i], x)
 
 
 def _clean_msd(params: dict) -> dict:

@@ -308,3 +308,20 @@ class HiFiGANDiscriminator:
         if ch != 1:
             x = jnp.transpose(x, (0, 2, 1)).reshape(b * ch, t, 1)
         return self.msd(p["msd"], x) + self.mpd(p["mpd"], x)
+
+    @property
+    def num_subs(self):
+        return len(self.msd.discriminators) + len(self.mpd.discriminators)
+
+    def apply_sub(self, p, i, x):
+        """Feature list of sub-discriminator ``i`` alone — MSD scales first,
+        then MPD periods, matching the ``__call__`` concatenation order.
+        Lets trainers checkpoint per sub-D so only one feature list is live
+        at a time (large-batch adversarial training in 16 GB HBM)."""
+        b, t, ch = x.shape
+        if ch != 1:
+            x = jnp.transpose(x, (0, 2, 1)).reshape(b * ch, t, 1)
+        n_msd = len(self.msd.discriminators)
+        if i < n_msd:
+            return self.msd.apply_sub(p["msd"], i, x)
+        return self.mpd.apply_sub(p["mpd"], i - n_msd, x)

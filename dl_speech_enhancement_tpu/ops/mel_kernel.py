@@ -147,6 +147,14 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
 
     core.defvjp(core_fwd, core_bwd)
 
+    # Above ~5k frame rows per pallas call the TPU backend starts staging
+    # the full operands on the scoped-VMEM stack and the compile aborts
+    # (seen at batch-64 training: 10368 rows OOM, 5248 rows fine), so big
+    # inputs are fed through the kernel in fixed-size chunks via lax.map —
+    # same blocks, same numerics, one extra scan level.
+    chunk_rows = 4096
+    assert chunk_rows % block_frames == 0
+
     def fn(x: jax.Array) -> jax.Array:
         if x.ndim == 3:  # (B, C, T) -> (B*C, T), like MelSpectrogram
             x = x.reshape(-1, x.shape[-1])
@@ -157,9 +165,15 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
         n_frames = frames.shape[1]
         flat = frames.reshape(b * n_frames, n_fft)
         total = flat.shape[0]
-        total_p = _round_up(total, block_frames)
-        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-        out = core(flat)
+        if total > chunk_rows:
+            total_p = _round_up(total, chunk_rows)
+            flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+            out = jax.lax.map(core, flat.reshape(-1, chunk_rows, n_fft))
+            out = out.reshape(total_p, n_mels_p)
+        else:
+            total_p = _round_up(total, block_frames)
+            flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+            out = core(flat)
         return out[:total, :n_mels].reshape(b, n_frames, n_mels)
 
     return fn

@@ -61,6 +61,32 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
     # the module docstring). Off by default — used by the training-dynamics
     # parity tests and for bit-faithful reproduction runs.
     compat_adv = config.get("compat_adv_on_waveform", False)
+    # memory/recompute trade for large-batch adversarial steps: compute each
+    # sub-discriminator's adv + feature-matching contribution under
+    # jax.checkpoint so only ONE sub-D's feature list is live at a time
+    # (MSD scale-0 features at 48 kHz batch-64 are ~1.5 GB each). Identical
+    # losses/grads — the sums below reproduce the nested-list losses'
+    # averaging exactly. Opt in via `discriminator_remat: true`; requires a
+    # discriminator exposing num_subs/apply_sub (HiFiGANDiscriminator).
+    remat_disc = (config.get("discriminator_remat", False)
+                  and hasattr(disc, "apply_sub"))
+
+    def _adv_fm_remat(params_d, y, target):
+        adv_terms, fm_terms = [], []
+        for i in range(disc.num_subs):
+            def one(y_, t_, pd, i=i):
+                q_ = disc.apply_sub(pd, i, y_)
+                q = disc.apply_sub(pd, i, t_)
+                # single-element nested lists: the losses' per-discriminator
+                # averaging divides by 1, yielding the raw contribution
+                return gen_adv([q_]), feat_match([q_], [q])
+            a, f = jax.checkpoint(one)(y, target, params_d)
+            adv_terms.append(a)
+            fm_terms.append(f)
+        n = disc.num_subs
+        adv = sum(adv_terms) / (n if gen_adv.average else 1)
+        fm = sum(fm_terms) / (n if feat_match.average_by_discriminators else 1)
+        return adv, fm
 
     def _gen_loss(params_g, params_d, x, target, *, use_disc):
         y, *_ = gen(params_g, None, x, train=True)
@@ -69,15 +95,32 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
         total = mel + snr
         frags = {"mel_loss": mel, "snr_loss": snr}
         if use_disc:
-            p_ = disc(params_d, y)
-            p = jax.tree_util.tree_map(jax.lax.stop_gradient, disc(params_d, target))
-            adv = l_adv * gen_adv(y if compat_adv else p_)
-            fm = l_fm * feat_match(p_, p)
+            if remat_disc and not compat_adv:
+                adv, fm = _adv_fm_remat(params_d, y, target)
+                adv = l_adv * adv
+                fm = l_fm * fm
+            else:
+                p_ = disc(params_d, y)
+                p = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                           disc(params_d, target))
+                adv = l_adv * gen_adv(y if compat_adv else p_)
+                fm = l_fm * feat_match(p_, p)
             total = total + adv + fm
             frags.update(adv_loss=adv, feat_loss=fm)
         return total, frags
 
     def _dis_loss(params_d, y, target):
+        if remat_disc:
+            terms = []
+            for i in range(disc.num_subs):
+                def one(pd, y_, t_, i=i):
+                    q = disc.apply_sub(pd, i, t_)
+                    q_ = disc.apply_sub(pd, i, y_)
+                    r, f = dis_adv([q_], [q])
+                    return r + f
+                terms.append(jax.checkpoint(one)(params_d, y, target))
+            n = disc.num_subs
+            return l_adv * (sum(terms) / (n if dis_adv.average else 1))
         p = disc(params_d, target)
         p_ = disc(params_d, y)
         real, fake = dis_adv(p_, p)

@@ -387,3 +387,31 @@ def test_msd_norm_flags_wiring():
         scales=2, discriminator_params={**base, "use_weight_norm": True})
     assert all(l.weight_norm and not l.spectral_norm
                for d in msd_wn.discriminators for l in d.layers)
+
+
+def test_remat_generator_matches_gradients(rng):
+    """remat=True must change memory behavior only: identical forward and
+    identical gradients to the plain generator (same params)."""
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    gen_r = AudioDecGenerator(**kw, remat=True)
+    params, _ = gen.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 64, 1)).astype(np.float32))
+
+    def loss(g):
+        def f(p):
+            y, *_ = g(p, None, x, train=True)
+            return jnp.sum(jnp.square(y))
+        return f
+
+    y0, *_ = gen(params, None, x, train=True)
+    y1, *_ = gen_r(params, None, x, train=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    g0 = jax.grad(loss(gen))(params)
+    g1 = jax.grad(loss(gen_r))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)

@@ -24,6 +24,22 @@ def test_fused_log_mel_matches_xla_pipeline(rng):
     np.testing.assert_allclose(a, b, atol=5e-3)
 
 
+def test_fused_log_mel_chunked_path_matches_small(rng):
+    """Inputs past the ~5k-row scoped-VMEM compile cliff go through the
+    lax.map chunked path — numerics must match the single-call path row
+    for row (same kernel, same blocks)."""
+    sr, n_fft, hop, n_mels = 48000, 512, 300, 80
+    fused = make_fused_log_mel(sr, n_fft, hop, None, n_mels, 0, 24000,
+                               log_base=None, interpret=True)
+    x = rng.standard_normal((30, 48000)).astype(np.float32) * 0.2
+    n_rows_per = 48000 // hop + 1
+    assert 30 * n_rows_per > 4096  # really exercises the chunked branch
+    big = np.asarray(fused(jnp.asarray(x)))
+    small = np.concatenate(
+        [np.asarray(fused(jnp.asarray(x[i : i + 1]))) for i in range(30)])
+    np.testing.assert_array_equal(big, small)
+
+
 def test_fused_log_mel_window_shorter_than_fft(rng):
     sr, n_fft, hop, win, n_mels = 24000, 512, 120, 240, 40
     x = rng.standard_normal((1, 4800)).astype(np.float32)

@@ -287,3 +287,73 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     import os
     assert os.path.exists(str(tmp_path / "config.yml"))
+
+
+def test_discriminator_remat_step_matches_plain(rng):
+    """discriminator_remat=True must be a pure memory/recompute trade: the
+    adversarial course step produces identical losses and updated params."""
+    from dl_speech_enhancement_tpu.models import (
+        AudioDecGenerator, HiFiGANDiscriminator,
+    )
+    from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
+    from dl_speech_enhancement_tpu.train.optim import build_optimizer
+
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    disc = HiFiGANDiscriminator(
+        scales=2, periods=(2, 3),
+        scale_discriminator_params=dict(channels=4,
+                                        max_downsample_channels=8,
+                                        max_groups=1,
+                                        downsample_scales=(2, 2)),
+        period_discriminator_params=dict(channels=4,
+                                         max_downsample_channels=8,
+                                         downsample_scales=(2, 2)),
+    )
+    base = dict(
+        mel_loss_params=dict(fs=2400, fft_sizes=[64], hop_sizes=[16],
+                             win_lengths=[None], num_mels=8, fmin=0,
+                             fmax=1200, log_base=None),
+        lambda_mel_loss=45.0, lambda_snr_loss=1.0, lambda_adv=1.0,
+        lambda_feat_match=2.0,
+    )
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    params_g, _ = gen.init(kg)
+    params_d = disc.init(kd)
+    opt_g = build_optimizer("Adam", {"lr": 1e-3}, grad_norm=10.0)
+    opt_d = build_optimizer("Adam", {"lr": 2e-4}, grad_norm=10.0)
+
+    x = jnp.asarray(rng.standard_normal((2, 96, 1)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((2, 96, 1)).astype(np.float32) * 0.1)
+
+    results = []
+    for flag in (False, True):
+        cfg = dict(base, discriminator_remat=flag)
+        step = make_course_steps(gen, disc, cfg, opt_g, opt_d)["train_disc"]
+        copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+        state = {
+            "params_generator": copy(params_g),
+            "params_discriminator": copy(params_d),
+            "opt_generator": opt_g.init(copy(params_g)),
+            "opt_discriminator": opt_d.init(copy(params_d)),
+        }
+        # the step donates its state; feed copies so both runs start equal
+        new_state, g_loss, d_loss, frags, _ = step(state, x, t)
+        results.append((new_state, float(g_loss), float(d_loss),
+                        {k: float(v) for k, v in frags.items()}))
+
+    (s0, g0, d0, f0), (s1, g1, d1, f1) = results
+    np.testing.assert_allclose(g0, g1, rtol=1e-6)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+    for k in f0:
+        np.testing.assert_allclose(f0[k], f1[k], rtol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s0["params_generator"]),
+                    jax.tree_util.tree_leaves(s1["params_generator"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s0["params_discriminator"]),
+                    jax.tree_util.tree_leaves(s1["params_discriminator"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

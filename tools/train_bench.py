@@ -37,6 +37,11 @@ def main():
     parser.add_argument("--seconds", type=float, default=1.0,
                         help="crop length per sample, in seconds")
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--remat", action="store_true",
+                        help="per-block generator rematerialization")
+    parser.add_argument("--disc-remat", action="store_true",
+                        help="per-sub-discriminator checkpointed losses "
+                             "(only one sub-D feature list live at a time)")
     args = parser.parse_args()
 
     import jax
@@ -56,7 +61,7 @@ def main():
 
     sr = 48000
     B = args.batch
-    gen = AudioDecGenerator(use_pqc=False)
+    gen = AudioDecGenerator(use_pqc=False, remat=args.remat)
     seg = int(args.seconds * sr) // gen.hop * gen.hop
 
     # the course configuration (configs/denoise schema, reference lambdas)
@@ -68,6 +73,7 @@ def main():
         lambda_feat_match=2.0,
         generator_adv_loss_params={"average_by_discriminators": False},
         discriminator_adv_loss_params={"average_by_discriminators": False},
+        discriminator_remat=args.disc_remat,
     )
     disc = HiFiGANDiscriminator()
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
