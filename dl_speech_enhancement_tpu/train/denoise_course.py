@@ -70,6 +70,18 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
     # discriminator exposing num_subs/apply_sub (HiFiGANDiscriminator).
     remat_disc = (config.get("discriminator_remat", False)
                   and hasattr(disc, "apply_sub"))
+    # gradient accumulation: split each batch into `grad_accum` equal
+    # microbatches, lax.scan the loss+grad over them and apply ONE optimizer
+    # update on the averaged gradients — grows the effective batch past the
+    # HBM activation wall (B=64 with remat on one v5e chip) at constant
+    # memory. Mel/adversarial/feature-matching losses are batch means, so
+    # their averaged microbatch grads equal the full-batch grads exactly.
+    # The SNR gate term (1 - sigmoid of the BATCH-GLOBAL SNR,
+    # train_denoise.py:140) is nonlinear in batch statistics and is instead
+    # evaluated per microbatch and averaged — as faithful to the reference
+    # (whose SNR is computed at whatever batch size it runs) and within
+    # ~1e-4 relative of the full-batch value at these loss scales.
+    grad_accum = int(config.get("grad_accum", 1))
 
     def _adv_fm_remat(params_d, y, target):
         adv_terms, fm_terms = [], []
@@ -126,9 +138,62 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
         real, fake = dis_adv(p_, p)
         return l_adv * (real + fake)
 
+    def _microbatches(x, target):
+        if x.shape[0] % grad_accum:
+            raise ValueError(
+                f"batch size {x.shape[0]} is not divisible by "
+                f"grad_accum={grad_accum}"
+            )
+        mb = x.shape[0] // grad_accum
+        return (x.reshape(grad_accum, mb, *x.shape[1:]),
+                target.reshape(grad_accum, mb, *target.shape[1:]))
+
+    def _gen_grads(params_g, params_d, x, target, *, use_disc):
+        """(g_loss, frags), grads — microbatch-accumulated when grad_accum>1."""
+        vg = jax.value_and_grad(_gen_loss, has_aux=True)
+        if grad_accum == 1:
+            return vg(params_g, params_d, x, target, use_disc=use_disc)
+        xs, ts = _microbatches(x, target)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda p, d, a, b: vg(p, d, a, b, use_disc=use_disc),
+                           params_g, params_d, xs[0], ts[0]),
+        )
+
+        def body(acc, xt):
+            out = vg(params_g, params_d, xt[0], xt[1], use_disc=use_disc)
+            return jax.tree_util.tree_map(jnp.add, acc, out), None
+
+        total, _ = jax.lax.scan(body, zeros, (xs, ts))
+        return jax.tree_util.tree_map(lambda t: t / grad_accum, total)
+
+    def _dis_grads(params_d, params_g_new, x, target):
+        """(d_loss, grads) on the re-forwarded updated generator."""
+        vg = jax.value_and_grad(_dis_loss)
+
+        def one(x_, t_):
+            # re-forward with the *updated* generator, no grad
+            # (train_denoise.py:246-251)
+            y2, *_ = gen(params_g_new, None, x_, train=False)
+            return vg(params_d, jax.lax.stop_gradient(y2), t_)
+
+        if grad_accum == 1:
+            return one(x, target)
+        xs, ts = _microbatches(x, target)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(one, xs[0], ts[0]),
+        )
+
+        def body(acc, xt):
+            return jax.tree_util.tree_map(jnp.add, acc, one(xt[0], xt[1])), None
+
+        total, _ = jax.lax.scan(body, zeros, (xs, ts))
+        return jax.tree_util.tree_map(lambda t: t / grad_accum, total)
+
     def _make_step(use_disc: bool):
         def step(state, x, target):
-            (g_loss, frags), grads = jax.value_and_grad(_gen_loss, has_aux=True)(
+            (g_loss, frags), grads = _gen_grads(
                 state["params_generator"], state.get("params_discriminator"),
                 x, target, use_disc=use_disc,
             )
@@ -141,12 +206,8 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
             new_state["opt_generator"] = new_opt_g
             d_loss = jnp.zeros(())
             if use_disc:
-                # re-forward with the *updated* generator, no grad
-                # (train_denoise.py:246-251)
-                y2, *_ = gen(new_params_g, None, x, train=False)
-                y2 = jax.lax.stop_gradient(y2)
-                d_loss, d_grads = jax.value_and_grad(_dis_loss)(
-                    state["params_discriminator"], y2, target
+                d_loss, d_grads = _dis_grads(
+                    state["params_discriminator"], new_params_g, x, target
                 )
                 d_updates, new_opt_d = opt_d.update(
                     d_grads, state["opt_discriminator"],

@@ -289,6 +289,144 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert os.path.exists(str(tmp_path / "config.yml"))
 
 
+def test_grad_accum_step_matches_full_batch(rng):
+    """grad_accum=K must reproduce the full-batch adversarial step for the
+    batch-mean losses (mel/adv/feature-matching): averaged microbatch grads
+    equal the full-batch grads up to float reassociation. The SNR gate is
+    batch-global (covered separately) so it's disabled here."""
+    from dl_speech_enhancement_tpu.models import (
+        AudioDecGenerator, HiFiGANDiscriminator,
+    )
+    from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
+    from dl_speech_enhancement_tpu.train.optim import build_optimizer
+
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    disc = HiFiGANDiscriminator(
+        scales=2, periods=(2, 3),
+        scale_discriminator_params=dict(channels=4,
+                                        max_downsample_channels=8,
+                                        max_groups=1,
+                                        downsample_scales=(2, 2)),
+        period_discriminator_params=dict(channels=4,
+                                         max_downsample_channels=8,
+                                         downsample_scales=(2, 2)),
+    )
+    base = dict(
+        mel_loss_params=dict(fs=2400, fft_sizes=[64], hop_sizes=[16],
+                             win_lengths=[None], num_mels=8, fmin=0,
+                             fmax=1200, log_base=None),
+        lambda_mel_loss=45.0, lambda_snr_loss=0.0, lambda_adv=1.0,
+        lambda_feat_match=2.0,
+    )
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    params_g, _ = gen.init(kg)
+    params_d = disc.init(kd)
+    opt_g = build_optimizer("Adam", {"lr": 1e-3}, grad_norm=10.0)
+    opt_d = build_optimizer("Adam", {"lr": 2e-4}, grad_norm=10.0)
+
+    x = jnp.asarray(rng.standard_normal((4, 96, 1)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((4, 96, 1)).astype(np.float32) * 0.1)
+
+    results = []
+    for accum in (1, 2, 4):
+        cfg = dict(base, grad_accum=accum)
+        step = make_course_steps(gen, disc, cfg, opt_g, opt_d)["train_disc"]
+        copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+        state = {
+            "params_generator": copy(params_g),
+            "params_discriminator": copy(params_d),
+            "opt_generator": opt_g.init(copy(params_g)),
+            "opt_discriminator": opt_d.init(copy(params_d)),
+        }
+        new_state, g_loss, d_loss, frags, _ = step(state, x, t)
+        results.append((new_state, float(g_loss), float(d_loss),
+                        {k: float(v) for k, v in frags.items()}))
+
+    (s0, g0, d0, f0) = results[0]
+    for s1, g1, d1, f1 in results[1:]:
+        np.testing.assert_allclose(g0, g1, rtol=1e-5)
+        np.testing.assert_allclose(d0, d1, rtol=1e-5)
+        for k in f0:
+            np.testing.assert_allclose(f0[k], f1[k], rtol=1e-4, err_msg=k)
+        for a, b in zip(jax.tree_util.tree_leaves(s0["params_generator"]),
+                        jax.tree_util.tree_leaves(s1["params_generator"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s0["params_discriminator"]),
+                        jax.tree_util.tree_leaves(s1["params_discriminator"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_snr_gate_is_per_microbatch(rng):
+    """With the SNR gate enabled, grad_accum evaluates 1-sigmoid(SNR) per
+    microbatch and averages (documented semantic: SNR is batch-global, so
+    the full-batch value is not decomposable) — the result must stay within
+    ~1e-3 relative of the full-batch step at these loss scales."""
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
+    from dl_speech_enhancement_tpu.train.optim import build_optimizer
+
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    base = dict(
+        mel_loss_params=dict(fs=2400, fft_sizes=[64], hop_sizes=[16],
+                             win_lengths=[None], num_mels=8, fmin=0,
+                             fmax=1200, log_base=None),
+        lambda_mel_loss=45.0, lambda_snr_loss=1.0,
+    )
+    params_g, _ = gen.init(jax.random.PRNGKey(0))
+    opt_g = build_optimizer("Adam", {"lr": 1e-3}, grad_norm=10.0)
+    x = jnp.asarray(rng.standard_normal((4, 96, 1)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((4, 96, 1)).astype(np.float32) * 0.1)
+
+    losses = {}
+    for accum in (1, 4):
+        cfg = dict(base, grad_accum=accum)
+        step = make_course_steps(gen, None, cfg, opt_g, opt_g)["train"]
+        state = {
+            "params_generator": jax.tree_util.tree_map(jnp.copy, params_g),
+            "opt_generator": opt_g.init(params_g),
+        }
+        _, g_loss, _, frags, _ = step(state, x, t)
+        losses[accum] = (float(g_loss), float(frags["snr_loss"]))
+
+    np.testing.assert_allclose(losses[1][0], losses[4][0], rtol=2e-3)
+    np.testing.assert_allclose(losses[1][1], losses[4][1], rtol=0.2)
+
+
+def test_grad_accum_rejects_indivisible_batch(rng):
+    from dl_speech_enhancement_tpu.models import (
+        AudioDecGenerator, HiFiGANDiscriminator,
+    )
+    from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
+    from dl_speech_enhancement_tpu.train.optim import build_optimizer
+    import pytest
+
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    cfg = dict(
+        mel_loss_params=dict(fs=2400, fft_sizes=[64], hop_sizes=[16],
+                             win_lengths=[None], num_mels=8, fmin=0,
+                             fmax=1200, log_base=None),
+        lambda_mel_loss=45.0, grad_accum=2,
+    )
+    opt = build_optimizer("Adam", {"lr": 1e-3}, grad_norm=10.0)
+    params_g, _ = gen.init(jax.random.PRNGKey(0))
+    state = {"params_generator": params_g, "opt_generator": opt.init(params_g)}
+    step = make_course_steps(gen, None, cfg, opt, opt)["train"]
+    x = jnp.zeros((3, 96, 1), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, x, x)
+
+
 def test_discriminator_remat_step_matches_plain(rng):
     """discriminator_remat=True must be a pure memory/recompute trade: the
     adversarial course step produces identical losses and updated params."""

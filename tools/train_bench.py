@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--disc-remat", action="store_true",
                         help="per-sub-discriminator checkpointed losses "
                              "(only one sub-D feature list live at a time)")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient accumulation: scan the step over "
+                             "--accum microbatches of batch/--accum each")
     args = parser.parse_args()
 
     import jax
@@ -74,6 +77,7 @@ def main():
         generator_adv_loss_params={"average_by_discriminators": False},
         discriminator_adv_loss_params={"average_by_discriminators": False},
         discriminator_remat=args.disc_remat,
+        grad_accum=args.accum,
     )
     disc = HiFiGANDiscriminator()
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
