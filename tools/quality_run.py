@@ -38,6 +38,12 @@ def main():
                         help="step at which the discriminator gate opens")
     parser.add_argument("--eval-every", type=int, default=1000)
     parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--remat", action="store_true",
+                        help="per-block generator rematerialization")
+    parser.add_argument("--disc-remat", action="store_true",
+                        help="per-sub-discriminator checkpointed losses")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient accumulation microbatches")
     parser.add_argument("--out", default="/tmp/quality_r02")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -88,8 +94,10 @@ def main():
         lambda_feat_match=2.0,
         generator_adv_loss_params={"average_by_discriminators": False},
         discriminator_adv_loss_params={"average_by_discriminators": False},
+        discriminator_remat=args.disc_remat,
+        grad_accum=args.accum,
     )
-    gen = AudioDecGenerator(use_pqc=False)
+    gen = AudioDecGenerator(use_pqc=False, remat=args.remat)
     disc = HiFiGANDiscriminator()
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     params_g, _ = gen.init(kg)

@@ -105,6 +105,17 @@ def main():
     print(f"compile+first step {time.perf_counter() - t0:.1f} s, "
           f"g_loss {g0:.3f}", flush=True)
 
+    # authoritative step FLOPs from XLA's own cost model (includes the
+    # discriminator and any remat recompute); the second compile hits the
+    # persistent cache so this is cheap
+    step_flops = None
+    try:
+        an = step.lower(state, x, y).compile().cost_analysis()
+        if an and an.get("flops"):
+            step_flops = float(an["flops"])
+    except Exception as e:  # cost model unavailable on some backends
+        print(f"cost_analysis unavailable: {e}", flush=True)
+
     # tunnel round-trip estimate (subtracted from per-step walls)
     z = jax.device_put(jnp.zeros(()))
     rtts = []
@@ -130,6 +141,14 @@ def main():
         f"trained, spread {spread:.0f}%",
         flush=True,
     )
+    if step_flops:
+        tflops = step_flops / dev / 1e12
+        # v5e bf16 MXU peak (f32 inputs run through the same MXU at
+        # reduced internal precision on this generation)
+        mfu = 100.0 * tflops * 1e12 / 394e12
+        print(f"XLA cost model: {step_flops / 1e12:.2f} TFLOP/step -> "
+              f"{tflops:.1f} TFLOP/s achieved, MFU {mfu:.1f}% of v5e bf16 peak",
+              flush=True)
 
 
 if __name__ == "__main__":
