@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Sustained quality run: multi-hour GAN training on real audio + DNSMOS curve.
 
-Scales tools/demo_e2e.py into the round-2 quality evidence run
+Scales tools/demo_e2e.py into the sustained quality evidence run
 (reference quality loop: /root/reference/train_denoise.py:213-355):
 
 - full-size without-PQC denoiser + HiFiGAN discriminator (the course setup),
@@ -9,18 +9,26 @@ Scales tools/demo_e2e.py into the round-2 quality evidence run
   make_course_steps) — mel + SNR loss, adversarial + feature-matching once
   the discriminator gate opens;
 - on-the-fly SNR mixing in [10, 20) dB over the reference demo corpus
-  (6 clean + 6 noise clips, clip 6 held out), random 1 s crops;
-- every --eval-every steps: denoise the held-out mix, score DNSMOS
-  (SIG/BAK/OVRL/P808), append to a JSONL curve, dump the wav;
-- NaN watchdog: aborts loudly if any loss goes non-finite;
-- checkpoints + final DNSMOS table archived under --out.
+  (6 clean + 6 noise clips, clip 6 held out), random 1 s crops; optional
+  noise dropout (the report §3.2 augmentation, intended pre-mix semantics);
+- every --eval-every steps the held-out clip is mixed at EACH of
+  --eval-snrs dB and scored with the in-repo DNSMOS (plus SI-SDR/SNR vs
+  the clean reference, which are much lower-variance than single-clip
+  DNSMOS); per-SNR and mean scores are appended to a JSONL curve;
+- the best checkpoint by mean OVRL is archived (course format: generator
+  params only) along with its denoised wavs;
+- crash/resume safe: full training state is saved to checkpoint-latest at
+  every eval and --resume (or an existing checkpoint-latest + --auto-resume)
+  continues from it;
+- NaN watchdog: aborts loudly if any loss goes non-finite.
 
-Run: python tools/quality_run.py --steps 20000 --disc-at 4000
+Run: python tools/quality_run.py --steps 40000 --disc-at 2000 --batch 16
 """
 
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -37,6 +45,11 @@ def main():
     parser.add_argument("--disc-at", type=int, default=4000,
                         help="step at which the discriminator gate opens")
     parser.add_argument("--eval-every", type=int, default=1000)
+    parser.add_argument("--eval-snrs", default="10,15,20",
+                        help="comma-separated SNRs (dB) for the held-out eval")
+    parser.add_argument("--save-every", type=int, default=4,
+                        help="evals between checkpoint-latest saves (the full "
+                        "GAN state is ~1 GB and crosses the host tunnel)")
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--remat", action="store_true",
                         help="per-block generator rematerialization")
@@ -44,31 +57,59 @@ def main():
                         help="per-sub-discriminator checkpointed losses")
     parser.add_argument("--accum", type=int, default=1,
                         help="gradient accumulation microbatches")
+    parser.add_argument("--ndo", type=float, default=0.0,
+                        help="initial noise-dropout rate (report §3.2)")
+    parser.add_argument("--ndo-decay", type=float, default=0.0,
+                        help="rate decrement applied every --ndo-decay-every")
+    parser.add_argument("--ndo-decay-every", type=int, default=2000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint-latest dir to resume from")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="resume from <out>/checkpoint-latest if present")
     parser.add_argument("--out", default="/tmp/quality_r02")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
     curve_path = os.path.join(args.out, "curve.jsonl")
+    eval_snrs = [int(s) for s in args.eval_snrs.split(",")]
 
     import jax
+
+    # persist compiled executables across runs (smoke + resume + real run
+    # share the ~100 s GAN-step compiles)
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".cache", "jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
-    from dl_speech_enhancement_tpu.data import load_audio, write_wav, add_noise
+    from dl_speech_enhancement_tpu.data import (
+        load_audio, write_wav, add_noise, noise_dropout,
+    )
     from dl_speech_enhancement_tpu.models import (
         AudioDecGenerator, HiFiGANDiscriminator,
     )
     from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
     from dl_speech_enhancement_tpu.train.optim import build_optimizer
-    from dl_speech_enhancement_tpu.train.checkpoint import save_checkpoint
+    from dl_speech_enhancement_tpu.train.checkpoint import (
+        save_checkpoint, load_checkpoint,
+    )
+    from dl_speech_enhancement_tpu.losses.metrics import (
+        scale_invariant_sdr, signal_noise_ratio,
+    )
     from dl_speech_enhancement_tpu.eval.dnsmos import ComputeScore
 
     sr = 48000
     seg = 48000  # 1 s crops
-    rng = np.random.default_rng(0)
 
     cleans = [load_audio(f"{CLIPS}/clean{i}.wav", sr)[:, :1] for i in range(1, 7)]
     noises = [load_audio(f"{CLIPS}/noise{i}.wav", sr)[:, :1] for i in range(1, 7)]
     print(f"corpus: {len(cleans)} clean / {len(noises)} noise clips", flush=True)
 
-    def sample_batch(b):
+    def sample_batch(rng, b, ndo_rate):
         xs, ys = [], []
         for _ in range(b):
             c = cleans[rng.integers(0, 5)]  # clip 6 held out
@@ -81,6 +122,8 @@ def main():
                 cc = np.pad(cc, ((0, seg - len(cc)), (0, 0)))
             if len(nn) < seg:
                 nn = np.pad(nn, ((0, seg - len(nn)), (0, 0)))
+            if ndo_rate > 0.0:
+                nn = noise_dropout(cc[None], nn[None], ndo_rate, rng)[0]
             xs.append(add_noise(cc, nn, rng.integers(10, 20)))
             ys.append(cc)
         return np.stack(xs).astype(np.float32), np.stack(ys).astype(np.float32)
@@ -99,7 +142,7 @@ def main():
     )
     gen = AudioDecGenerator(use_pqc=False, remat=args.remat)
     disc = HiFiGANDiscriminator()
-    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    kg, kd = jax.random.split(jax.random.PRNGKey(args.seed))
     params_g, _ = gen.init(kg)
     params_d = disc.init(kd)
     opt_g = build_optimizer("Adam", {"lr": 1e-3, "betas": [0.5, 0.9]},
@@ -112,14 +155,31 @@ def main():
         "opt_generator": opt_g.init(params_g),
         "opt_discriminator": opt_d.init(params_d),
     }
+    start_step = 0
+    resume_path = args.resume
+    latest_dir = os.path.join(args.out, "checkpoint-latest")
+    if resume_path is None and args.auto_resume and os.path.isdir(latest_dir):
+        resume_path = latest_dir
+    if resume_path:
+        meta_path = os.path.join(os.path.dirname(os.path.abspath(resume_path)),
+                                 "latest-step.json")
+        state = load_checkpoint(resume_path, like=state)
+        with open(meta_path) as f:
+            start_step = json.load(f)["step"]
+        print(f"resumed from {resume_path} at step {start_step}", flush=True)
+    rng = np.random.default_rng(args.seed + start_step)
     steps_fns = make_course_steps(gen, disc, config, opt_g, opt_d)
 
-    # held-out eval clip: clip 6 mixed at 15 dB (reference formula)
+    # held-out eval material: clip 6 (clean + noise), trimmed to a hop
+    # multiple, mixed deterministically at each eval SNR
     c6 = cleans[5][: len(noises[5])]
     n6 = noises[5][: len(c6)]
     t = (min(len(c6), len(n6)) // gen.hop) * gen.hop
-    heldout_mixed = add_noise(c6[:t], n6[:t], 15).astype(np.float32)
     heldout_clean = c6[:t]
+    heldout_mixes = {
+        snr: add_noise(heldout_clean, n6[:t], snr).astype(np.float32)
+        for snr in eval_snrs
+    }
 
     @jax.jit
     def infer(params, x):
@@ -127,30 +187,59 @@ def main():
         return y
 
     scorer = ComputeScore()
-    write_wav(f"{args.out}/noisy.wav", heldout_mixed[:, 0], sr)
+    keys = ("SIG", "BAK", "OVRL", "P808_MOS")
     write_wav(f"{args.out}/clean.wav", heldout_clean[:, 0], sr)
 
-    def dnsmos_eval(params, step, dump=False):
-        den = np.asarray(infer(params, jnp.asarray(heldout_mixed[None])))[0]
-        path = f"{args.out}/denoised_step{step}.wav" if dump else f"{args.out}/denoised_latest.wav"
-        write_wav(path, den[:, 0], sr)
+    def score_wave(wave, path):
+        write_wav(path, wave[:, 0], sr)
         s = scorer(path)
-        return {k: round(float(s[k]), 4) for k in ("SIG", "BAK", "OVRL", "P808_MOS")}
+        return {k: round(float(s[k]), 4) for k in keys}
 
-    ref_scores = {}
-    for name, path in (("noisy", f"{args.out}/noisy.wav"),
-                       ("clean", f"{args.out}/clean.wav")):
-        s = scorer(path)
-        ref_scores[name] = {k: round(float(s[k]), 4)
-                            for k in ("SIG", "BAK", "OVRL", "P808_MOS")}
-        print(f"DNSMOS {name}: {ref_scores[name]}", flush=True)
-    with open(curve_path, "w") as f:
-        f.write(json.dumps({"step": -1, **ref_scores}) + "\n")
+    def dnsmos_eval(params, step, dump=False):
+        """Denoise the held-out clip at each eval SNR; report per-SNR DNSMOS
+        + SI-SDR/SNR vs clean, and the across-SNR mean of each metric."""
+        per_snr, ovrls = {}, []
+        mean = {k: 0.0 for k in keys + ("si_sdr", "snr")}
+        for snr in eval_snrs:
+            den = np.asarray(infer(params, jnp.asarray(heldout_mixes[snr][None])))[0]
+            path = (f"{args.out}/denoised_step{step}_snr{snr}.wav" if dump
+                    else f"{args.out}/denoised_latest_snr{snr}.wav")
+            s = score_wave(den, path)
+            s["si_sdr"] = round(float(scale_invariant_sdr(
+                den[None, :, 0], heldout_clean[None, :, 0])), 3)
+            s["snr"] = round(float(signal_noise_ratio(
+                den[:, 0], heldout_clean[:, 0])), 3)
+            per_snr[str(snr)] = s
+            ovrls.append(s["OVRL"])
+            for k in mean:
+                mean[k] += s[k] / len(eval_snrs)
+        return {"per_snr": per_snr,
+                "mean": {k: round(v, 4) for k, v in mean.items()}}
+
+    ref_scores = {"clean": score_wave(heldout_clean, f"{args.out}/clean.wav")}
+    for snr in eval_snrs:
+        s = score_wave(heldout_mixes[snr], f"{args.out}/noisy_snr{snr}.wav")
+        s["si_sdr"] = round(float(scale_invariant_sdr(
+            heldout_mixes[snr][None, :, 0], heldout_clean[None, :, 0])), 3)
+        ref_scores[f"noisy_{snr}dB"] = s
+        print(f"DNSMOS noisy@{snr}dB: {s}", flush=True)
+    print(f"DNSMOS clean: {ref_scores['clean']}", flush=True)
+    if start_step == 0:
+        with open(curve_path, "w") as f:
+            f.write(json.dumps({"step": -1, **ref_scores}) + "\n")
 
     t0 = time.time()
-    losses_g, losses_d = [], []
-    for i in range(args.steps):
-        noisy, clean = sample_batch(args.batch)
+    best_ovrl = -1.0
+    if start_step and os.path.exists(f"{args.out}/best.json"):
+        with open(f"{args.out}/best.json") as f:
+            best_ovrl = json.load(f)["mean_ovrl"]
+    ndo_rate = max(args.ndo - args.ndo_decay * (start_step
+                                                // args.ndo_decay_every), 0.0)
+    for i in range(start_step, args.steps):
+        if (args.ndo_decay > 0.0 and i > 0
+                and i % args.ndo_decay_every == 0):
+            ndo_rate = max(ndo_rate - args.ndo_decay, 0.0)
+        noisy, clean = sample_batch(rng, args.batch, ndo_rate)
         use_disc = i >= args.disc_at
         fn = steps_fns["train_disc" if use_disc else "train"]
         state, g_loss, d_loss, frags, gstats = fn(
@@ -161,21 +250,41 @@ def main():
                 print(f"FATAL: non-finite loss at step {i}: g={g} d={d}",
                       flush=True)
                 sys.exit(1)
-            losses_g.append(g)
-            losses_d.append(d)
             print(f"step {i}: g_loss {g:.3f} d_loss {d:.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
         if (i + 1) % args.eval_every == 0 or i == args.steps - 1:
-            scores = dnsmos_eval(state["params_generator"], i + 1,
-                                 dump=((i + 1) % (4 * args.eval_every) == 0
-                                       or i == args.steps - 1))
+            dump = ((i + 1) % (4 * args.eval_every) == 0
+                    or i == args.steps - 1)
+            scores = dnsmos_eval(state["params_generator"], i + 1, dump=dump)
             rec = {"step": i + 1, "g_loss": round(float(g_loss), 4),
                    "d_loss": round(float(d_loss), 4),
-                   "disc_enabled": use_disc,
+                   "disc_enabled": use_disc, "ndo_rate": round(ndo_rate, 4),
                    "wall_s": round(time.time() - t0, 1), **scores}
             with open(curve_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(f"EVAL {rec}", flush=True)
+            n_eval = (i + 1) // args.eval_every
+            if n_eval % args.save_every == 0 or i == args.steps - 1:
+                save_checkpoint(latest_dir, state, config=config)
+                with open(os.path.join(args.out, "latest-step.json"),
+                          "w") as f:
+                    json.dump({"step": i + 1}, f)
+            if scores["mean"]["OVRL"] > best_ovrl:
+                best_ovrl = scores["mean"]["OVRL"]
+                save_checkpoint(os.path.join(args.out, "checkpoint-best"),
+                                {"params_generator":
+                                 state["params_generator"]})
+                with open(f"{args.out}/best.json", "w") as f:
+                    json.dump({"step": i + 1, "mean_ovrl": best_ovrl,
+                               **scores}, f, indent=1)
+                for snr in eval_snrs:  # the eval already wrote these wavs
+                    shutil.copyfile(
+                        f"{args.out}/denoised_step{i+1}_snr{snr}.wav"
+                        if dump else
+                        f"{args.out}/denoised_latest_snr{snr}.wav",
+                        f"{args.out}/denoised_best_snr{snr}.wav")
+                print(f"BEST mean OVRL {best_ovrl:.3f} at step {i+1}",
+                      flush=True)
 
     save_checkpoint(os.path.join(args.out, f"checkpoint-{args.steps}"),
                     {"params_generator": state["params_generator"],
