@@ -52,25 +52,20 @@ def median_spread(xs):
 
 
 def main():
-    import os
     import jax
-
-    # persist compiled executables across runs: makes repeated bench runs
-    # start measuring in seconds instead of minutes, and removes compile
-    # noise from the driver's capture
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".cache", "jax")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
     import jax.numpy as jnp
     from jax import lax
     from dl_speech_enhancement_tpu.models import AudioDecGenerator
     from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
-    from dl_speech_enhancement_tpu.utils.profiling import codec_flops_per_sample
+    from dl_speech_enhancement_tpu.utils.profiling import (
+        codec_flops_per_sample,
+        enable_compile_cache,
+    )
+
+    # persist compiled executables across runs: makes repeated bench runs
+    # start measuring in seconds instead of minutes, and removes compile
+    # noise from the driver's capture
+    enable_compile_cache()
 
     sample_rate = 48000
     frame_size = 1200  # 25 ms @ 48 kHz, 4 code frames at hop 300
@@ -145,10 +140,13 @@ def main():
     t_single = min(t_xla, t_mega)
     x_rt_single = frame_time / t_single
 
-    # roofline accounting
+    # roofline accounting — attributed to the MEGA path specifically: the
+    # HBM byte model below (cache drain, amortized VMEM-resident bf16
+    # weights) describes the mega kernel's traffic, so divide by t_mega,
+    # not by whichever path won the headline
     flops_frame = codec_flops_per_sample(gen) * frame_size
-    tflops = flops_frame / t_single / 1e12
-    mfu_pct = 100.0 * flops_frame / t_single / V5E_PEAK_FLOPS
+    tflops = flops_frame / t_mega / 1e12
+    mfu_pct = 100.0 * flops_frame / t_mega / V5E_PEAK_FLOPS
     cache_bytes = sum(int(np.prod(v.shape)) * 4
                       for v in mega_init_cache().values())
     n_params = sum(int(np.prod(np.asarray(l).shape))
@@ -158,7 +156,7 @@ def main():
                  + 2 * z_bytes           # feature hand-off write + read
                  + cache_bytes           # cache drain (write every frame)
                  + 2 * n_params / (n_frames * 4))  # bf16 weights / dispatch
-    hbm_gb_s = hbm_frame / t_single / 1e9
+    hbm_gb_s = hbm_frame / t_mega / 1e9
 
     # PQC (symAD) codec single-stream: the full encode->RVQ->decode chain
     # through the same mega-kernel path (reference AudioDec v1 runs this at
@@ -258,8 +256,8 @@ def main():
             "n_fits": N_FITS,
             "frame_size": frame_size,
             "flops_per_frame": int(flops_frame),
-            "achieved_tflops": round(tflops, 2),
-            "mfu_pct_v5e_bf16": round(mfu_pct, 2),
+            "achieved_tflops_mega": round(tflops, 2),
+            "mfu_pct_v5e_bf16_mega": round(mfu_pct, 2),
             "hbm_bytes_per_frame": int(hbm_frame),
             "hbm_gb_s": round(hbm_gb_s, 2),
             "streams_16_frame_ms": round(t_batch * 1e3, 3),

@@ -139,8 +139,15 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
       tx bitstream of utils/audiodec.py:96-103), and the decoder kernel
       starts with the codebook lookup and the decoder input conv; per-frame
       semantics match ``encode_step -> quantize -> lookup -> decode_step``.
-      Codebooks and distances stay f32 so assignments agree with the XLA
-      path.
+      Codebooks and distances stay f32 regardless of ``weight_dtype``.
+      Code agreement with the XLA quantize path is exact at
+      ``weight_dtype=float32`` (what the equivalence tests pin); at the
+      default bf16 the encoder/projector matmuls perturb ``z``, so a
+      near-tie codeword can resolve differently than the XLA transmitter —
+      pass ``weight_dtype=jnp.float32`` when bit-exact wire parity with an
+      XLA peer matters. (Note the TPU's default f32 convs run at reduced
+      internal precision too — see CLAUDE.md — so "exact" holds per-path,
+      not vs CPU math.)
 
     Tested in tests/test_mega_kernel.py.
     """
@@ -912,7 +919,6 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
             v = site("e0ch" if bi == 0 else f"e{bi}ch",
                      info["chain_ctx"], h)
             r = v.shape[1]
-            ch = v.shape[2]
             if info["folded"]:
                 for m1n, m2n, pad_rows in info["units"]:
                     rn = r - pad_rows
@@ -1172,7 +1178,6 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
                 h = ybuf[...] + C[f"d{bi}ub"][...]
             v = site(f"d{bi}ch", info["chain_ctx"], h)
             r = v.shape[1]
-            ch = v.shape[2]
             if info["last"]:
                 for m1n, m2n, pad_rows in info["units"]:
                     rn = r - pad_rows

@@ -174,7 +174,7 @@ class VocoderReceiver:
 
 def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                      backend: str = "auto", frame_size: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool = False, weight_dtype=None):
     """On-device multi-frame streaming: ``f(cache, frames (N, B, F, C)) ->
     (audio (N, B, F', C), cache)`` as one jitted ``lax.scan`` dispatch.
 
@@ -192,6 +192,11 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     indices + lookup); without it, the per-frame fused residual-chain
     kernels (ops/stream_kernel.py) still give ~1.2-1.7x over XLA for the
     without-PQC case.
+
+    ``weight_dtype`` is forwarded to the mega kernel (default bf16 —
+    halves VMEM weight residency). For a PQC transmitter that must emit
+    bit-identical wire codes to an XLA peer, pass ``jnp.float32`` (see
+    make_mega_stream's docstring on near-tie codeword assignment).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
@@ -201,11 +206,14 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                 from dl_speech_enhancement_tpu.ops.mega_kernel import (
                     make_mega_stream,
                 )
+                mega_kw = ({} if weight_dtype is None
+                           else {"weight_dtype": weight_dtype})
                 init_mega, mega_run = make_mega_stream(
                     gen, jax.device_put(params), chunk=frame_size,
                     interpret=interpret,
                     vq_state=(jax.device_put(vq_state)
                               if gen.use_pqc else None),
+                    **mega_kw,
                 )
             except AssertionError:  # topology the kernel doesn't cover
                 init_mega = None
@@ -319,12 +327,20 @@ class AudioCodecStreamer(AudioCodec):
                  sample_rate: int = 48000, max_latency: float = 0.1,
                  batch: int = 1, receptive_length: int | None = None,
                  input_dump=None, output_dump=None, fused: bool = True,
+                 calibrate_split: bool = False,
                  tx=None, rx=None, tx_device=None, rx_device=None):
         """``fused=True`` (default) runs encode->quantize->lookup->decode as
         ONE jitted dispatch per frame in a single worker — half the
         host<->device round trips of the two-thread tx/rx split. Custom
         ``tx``/``rx`` endpoints (e.g. a VocoderReceiver) or distinct
-        ``tx_device``/``rx_device`` placements use the two-stage pipeline."""
+        ``tx_device``/``rx_device`` placements use the two-stage pipeline.
+
+        ``calibrate_split=True`` additionally times separate enc/dec
+        dispatches at warmup to split the fused frame time into per-side
+        stats (two extra program compiles + 8 fenced round trips at
+        startup; on a tunneled backend the host round trip dominates both
+        sides, so the calibrated ratio degenerates to ~0.5 anyway). Off by
+        default: per-side stats then carry the labeled 50/50 estimate."""
         super().__init__(gen, params, vq_state, batch, receptive_length,
                          tx=tx, rx=rx, tx_device=tx_device, rx_device=rx_device)
         self.fused = (fused and tx is None and rx is None
@@ -356,9 +372,11 @@ class AudioCodecStreamer(AudioCodec):
         self.dec_times: list[float] = []
         self.fused_times: list[float] = []
         # fused mode runs enc+dec as ONE dispatch; per-side numbers are the
-        # measured frame time split by a ratio calibrated at warmup() from
-        # real separate enc/dec dispatches (value-fetch fenced)
+        # measured frame time split by this ratio — a labeled 50/50
+        # estimate by default, or calibrated at warmup() from real separate
+        # enc/dec dispatches when calibrate_split=True
         self._enc_frac = 0.5
+        self._calibrate_split = calibrate_split
         self.latencies: list[float] = []
         self.frame_drops = 0
         self.n_frames = 0
@@ -381,22 +399,23 @@ class AudioCodecStreamer(AudioCodec):
         if self.fused:
             y = self._run_fused(zeros)
             _ = np.asarray(y)  # value fetch = reliable fence on this backend
-            # calibrate the enc/dec split from real separate dispatches
-            # (compiles the split steps too; np.asarray fences each)
-            enc_t = dec_t = 0.0
-            for _i in range(4):
-                t0 = time.perf_counter()
-                idx = self._encode(zeros)
-                _ = np.asarray(idx)
-                t1 = time.perf_counter()
-                y = self._decode(idx)
-                _ = np.asarray(y)
-                t2 = time.perf_counter()
-                if _i:  # skip the compile iteration
-                    enc_t += t1 - t0
-                    dec_t += t2 - t1
-            if enc_t + dec_t > 0:
-                self._enc_frac = enc_t / (enc_t + dec_t)
+            if self._calibrate_split:
+                # calibrate the enc/dec split from real separate dispatches
+                # (compiles the split steps too; np.asarray fences each)
+                enc_t = dec_t = 0.0
+                for _i in range(4):
+                    t0 = time.perf_counter()
+                    idx = self._encode(zeros)
+                    _ = np.asarray(idx)
+                    t1 = time.perf_counter()
+                    y = self._decode(idx)
+                    _ = np.asarray(y)
+                    t2 = time.perf_counter()
+                    if _i:  # skip the compile iteration
+                        enc_t += t1 - t0
+                        dec_t += t2 - t1
+                if enc_t + dec_t > 0:
+                    self._enc_frac = enc_t / (enc_t + dec_t)
         else:
             idx = self._encode(zeros)
             y = self._decode(idx)
@@ -591,9 +610,12 @@ class AudioCodecStreamer(AudioCodec):
             fused_mean, fused_std = ms(self.fused_times)
             out.update(
                 fused_ms_mean=fused_mean, fused_ms_std=fused_std,
-                # per-side numbers above are fused frame time split by the
-                # warmup-calibrated enc/dec ratio, not per-frame measurements
-                timing_mode="fused-calibrated-split",
+                # per-side numbers above are fused frame time split by a
+                # ratio (warmup-calibrated or the 50/50 estimate), not
+                # per-frame measurements
+                timing_mode=("fused-calibrated-split"
+                             if self._calibrate_split
+                             else "fused-estimated-split"),
                 enc_frac=round(self._enc_frac, 4),
             )
         else:

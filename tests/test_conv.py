@@ -182,28 +182,36 @@ def test_weight_norm_deconv_matches_torch(rng):
 
 def test_spectral_norm_divides_by_top_singular_value(rng):
     """Effective weight == w / sigma_max(W) (torch spectral_norm semantics;
-    power iteration from the stored u must converge to the SVD value)."""
+    the stateless power iteration must converge to the SVD value), and the
+    flag must not change the param structure (checkpoints load across it)."""
     from dl_speech_enhancement_tpu.nn.conv import (
         Conv1d, Conv2d, _spectral_norm_weight,
     )
 
     conv = Conv1d(8, 16, 5, spectral_norm=True)
     p = conv.init(jax.random.PRNGKey(0))
-    assert "u" in p and p["u"].shape == (16,)
+    # no extra state: same params as a plain conv, same same-seed init
+    assert set(p) == {"w", "b"}
+    p_plain = Conv1d(8, 16, 5).init(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(p["w"]),
+                                  np.asarray(p_plain["w"]))
     w = np.asarray(p["w"])
     sigma = np.linalg.svd(w.transpose(2, 0, 1).reshape(16, -1),
                           compute_uv=False)[0]
-    w_eff = np.asarray(
-        _spectral_norm_weight(p["w"], p["u"], 2, n_iters=50))
+    # the default iteration count must already be converged (the training
+    # path uses it every forward) — regression for the 3-iteration
+    # underestimate that let ||w_eff||_2 drift above 1; this particular w
+    # is a hard case (sigma2/sigma1 ~ 0.97)
+    w_eff = np.asarray(_spectral_norm_weight(p["w"], 2))
     np.testing.assert_allclose(w_eff, w / sigma, rtol=2e-3)
 
     conv2 = Conv2d(4, 8, (3, 3), spectral_norm=True)
     p2 = conv2.init(jax.random.PRNGKey(1))
+    assert set(p2) == {"w", "b"}
     w2 = np.asarray(p2["w"])
     sigma2 = np.linalg.svd(w2.transpose(3, 0, 1, 2).reshape(8, -1),
                            compute_uv=False)[0]
-    w2_eff = np.asarray(
-        _spectral_norm_weight(p2["w"], p2["u"], 3, n_iters=50))
+    w2_eff = np.asarray(_spectral_norm_weight(p2["w"], 3))
     np.testing.assert_allclose(w2_eff, w2 / sigma2, rtol=2e-3)
 
 
@@ -231,10 +239,9 @@ def test_spectral_norm_gradient_matches_torch(rng):
     ty.sum().backward()
     torch_grad = tconv.weight_orig.grad.numpy().transpose(2, 1, 0)
 
-    # sync our u with torch's converged u, use few iterations on top
-    p = dict(p)
-    p["u"] = jnp.asarray(tconv.weight_u.detach().numpy())
-
+    # both iterations are converged (torch's persisted u after 30 steps,
+    # ours stateless-from-fixed-start), so sigma/u/v — and the gradient
+    # through sigma = u^T W v — must agree
     def loss(w):
         return jnp.sum(conv({**p, "w": w}, jnp.asarray(x)))
 

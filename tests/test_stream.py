@@ -77,6 +77,28 @@ def test_streamer_pipeline_processes_all_frames(pqc_model, rng):
     assert stats["decoder_ms_mean"] > 0
     # output has the same total length (underflow zeros at the head)
     assert out.shape[1] >= frame * 9
+    # default fused mode: per-side numbers are the labeled 50/50 estimate,
+    # no calibration dispatches at warmup
+    assert stats["timing_mode"] == "fused-estimated-split"
+    assert stats["enc_frac"] == 0.5
+
+
+def test_streamer_calibrated_split_opt_in(pqc_model, rng):
+    """calibrate_split=True times real separate enc/dec dispatches at
+    warmup and labels the stats accordingly."""
+    gen, params, vq_state = pqc_model
+    frame = gen.hop * 2
+    streamer = AudioCodecStreamer(
+        gen, params, vq_state, frame_size=frame, sample_rate=4800,
+        max_latency=10.0, receptive_length=gen.hop * 8,
+        calibrate_split=True,
+    )
+    streamer.load()
+    audio = rng.standard_normal((1, frame * 4, 1)).astype(np.float32) * 0.3
+    streamer.run_array(audio)
+    stats = streamer.stats()
+    assert stats["timing_mode"] == "fused-calibrated-split"
+    assert 0.0 < stats["enc_frac"] < 1.0
 
 
 def test_streamer_equivalence_with_direct_codec(pqc_model, rng):
@@ -369,3 +391,13 @@ def test_scan_stream_pqc_mega_path_matches_xla(pqc_model, rng):
     scale = float(np.max(np.abs(np.asarray(ys_ref)))) + 1e-9
     np.testing.assert_allclose(np.asarray(ys) / scale,
                                np.asarray(ys_ref) / scale, atol=2e-2)
+
+    # weight_dtype=f32 is the bit-exact-wire-parity configuration (see
+    # make_mega_stream docstring): much tighter output agreement
+    run_f32 = make_scan_stream(gen, params, vq_state, batch=1,
+                               backend="pallas", frame_size=frame,
+                               interpret=True, weight_dtype=jnp.float32)
+    assert run_f32.__name__ == "run_mega"
+    ys32, _ = run_f32(run_f32.init_cache(), frames)
+    np.testing.assert_allclose(np.asarray(ys32) / scale,
+                               np.asarray(ys_ref) / scale, atol=1e-4)

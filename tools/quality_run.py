@@ -77,14 +77,9 @@ def main():
 
     # persist compiled executables across runs (smoke + resume + real run
     # share the ~100 s GAN-step compiles)
-    try:
-        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".cache", "jax")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     from dl_speech_enhancement_tpu.data import (
         load_audio, write_wav, add_noise, noise_dropout,
@@ -233,18 +228,22 @@ def main():
     if start_step and os.path.exists(f"{args.out}/best.json"):
         with open(f"{args.out}/best.json") as f:
             best_ovrl = json.load(f)["mean_ovrl"]
-    ndo_rate = max(args.ndo - args.ndo_decay * (start_step
-                                                // args.ndo_decay_every), 0.0)
     for i in range(start_step, args.steps):
-        if (args.ndo_decay > 0.0 and i > 0
-                and i % args.ndo_decay_every == 0):
-            ndo_rate = max(ndo_rate - args.ndo_decay, 0.0)
+        # pure function of the step index so a resumed run trains each step
+        # at exactly the rate an uninterrupted run would (a stateful
+        # decrement double-counted the decay when start_step landed on a
+        # decay boundary)
+        ndo_rate = max(args.ndo
+                       - args.ndo_decay * (i // args.ndo_decay_every), 0.0)
         noisy, clean = sample_batch(rng, args.batch, ndo_rate)
         use_disc = i >= args.disc_at
         fn = steps_fns["train_disc" if use_disc else "train"]
         state, g_loss, d_loss, frags, gstats = fn(
             state, jnp.asarray(noisy), jnp.asarray(clean))
-        if i % 50 == 0 or i == args.steps - 1:
+        # fetch (= fence) every 10 steps: bounds the donated-step queue depth
+        # on the tunneled backend (deep queues of donated GAN steps have
+        # wedged it — see tools/train_bench.py) at <1% throughput cost
+        if i % 10 == 0 or i == args.steps - 1:
             g, d = float(g_loss), float(d_loss)
             if not (np.isfinite(g) and np.isfinite(d)):
                 print(f"FATAL: non-finite loss at step {i}: g={g} d={d}",

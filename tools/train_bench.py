@@ -50,11 +50,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".cache", "jax")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     from dl_speech_enhancement_tpu.models import (
         AudioDecGenerator, HiFiGANDiscriminator,
