@@ -377,7 +377,11 @@ def test_msd_norm_flags_wiring():
     assert all(l.spectral_norm and not l.weight_norm
                for d in msd_sn.discriminators for l in d.layers)
     p = msd_sn.init(jax.random.PRNGKey(0))
-    assert "u" in p["discriminators"][0]["layers"][0]
+    # the spectral-norm parametrization is STATELESS (run-to-convergence
+    # power iteration in the forward, no persistent `u` buffer) so the param
+    # structure is identical with the flag on or off and checkpoints load
+    # across the setting — pin that contract
+    assert set(p["discriminators"][0]["layers"][0]) == {"w", "b"}
     x = jnp.asarray(np.random.default_rng(0)
                     .standard_normal((1, 256, 1)).astype(np.float32))
     outs = msd_sn(p, x)

@@ -26,6 +26,7 @@ Run: python tools/quality_run.py --steps 40000 --disc-at 2000 --batch 16
 """
 
 import argparse
+import functools
 import json
 import os
 import shutil
@@ -57,6 +58,12 @@ def main():
                         help="per-sub-discriminator checkpointed losses")
     parser.add_argument("--accum", type=int, default=1,
                         help="gradient accumulation microbatches")
+    parser.add_argument("--g-ema", type=float, default=0.0,
+                        help="exponential-moving-average decay over generator "
+                        "params; evals and the best-checkpoint archive use "
+                        "the EMA weights (0 = off). Standard GAN eval "
+                        "smoothing — damps the per-eval DNSMOS swings the "
+                        "raw adversarial params show on a tiny corpus.")
     parser.add_argument("--ndo", type=float, default=0.0,
                         help="initial noise-dropout rate (report §3.2)")
     parser.add_argument("--ndo-decay", type=float, default=0.0,
@@ -150,6 +157,17 @@ def main():
         "opt_generator": opt_g.init(params_g),
         "opt_discriminator": opt_d.init(params_d),
     }
+    # generator weight EMA (eval-only; kept OUTSIDE the step-fn state so the
+    # jitted train steps and their donation contract are untouched). A
+    # distinct copy so donating the train state never invalidates EMA leaves.
+    ema = jax.tree.map(jnp.array, params_g) if args.g_ema > 0 else None
+    if ema is not None:
+        d = args.g_ema
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def ema_update(e, p):
+            return jax.tree.map(lambda a, b: d * a + (1.0 - d) * b, e, p)
+
     start_step = 0
     resume_path = args.resume
     latest_dir = os.path.join(args.out, "checkpoint-latest")
@@ -158,7 +176,15 @@ def main():
     if resume_path:
         meta_path = os.path.join(os.path.dirname(os.path.abspath(resume_path)),
                                  "latest-step.json")
-        state = load_checkpoint(resume_path, like=state)
+        like = dict(state, params_gema=ema) if ema is not None else state
+        restored = load_checkpoint(resume_path, like=like)
+        if ema is not None:
+            ema = restored.pop("params_gema")
+        state = restored
+        # free the fresh-init duplicates NOW: keeping `like`/params_g/params_d
+        # alive holds a full second copy of the GAN state (~1 GB) on the chip,
+        # which pushed the B=16 adversarial step's peak past HBM on resume
+        del like, restored, params_g, params_d
         with open(meta_path) as f:
             start_step = json.load(f)["step"]
         print(f"resumed from {resume_path} at step {start_step}", flush=True)
@@ -240,6 +266,8 @@ def main():
         fn = steps_fns["train_disc" if use_disc else "train"]
         state, g_loss, d_loss, frags, gstats = fn(
             state, jnp.asarray(noisy), jnp.asarray(clean))
+        if ema is not None:
+            ema = ema_update(ema, state["params_generator"])
         # fetch (= fence) every 10 steps: bounds the donated-step queue depth
         # on the tunneled backend (deep queues of donated GAN steps have
         # wedged it — see tools/train_bench.py) at <1% throughput cost
@@ -254,7 +282,8 @@ def main():
         if (i + 1) % args.eval_every == 0 or i == args.steps - 1:
             dump = ((i + 1) % (4 * args.eval_every) == 0
                     or i == args.steps - 1)
-            scores = dnsmos_eval(state["params_generator"], i + 1, dump=dump)
+            eval_params = ema if ema is not None else state["params_generator"]
+            scores = dnsmos_eval(eval_params, i + 1, dump=dump)
             rec = {"step": i + 1, "g_loss": round(float(g_loss), 4),
                    "d_loss": round(float(d_loss), 4),
                    "disc_enabled": use_disc, "ndo_rate": round(ndo_rate, 4),
@@ -264,15 +293,17 @@ def main():
             print(f"EVAL {rec}", flush=True)
             n_eval = (i + 1) // args.eval_every
             if n_eval % args.save_every == 0 or i == args.steps - 1:
-                save_checkpoint(latest_dir, state, config=config)
+                save_checkpoint(
+                    latest_dir,
+                    dict(state, params_gema=ema) if ema is not None else state,
+                    config=config)
                 with open(os.path.join(args.out, "latest-step.json"),
                           "w") as f:
                     json.dump({"step": i + 1}, f)
             if scores["mean"]["OVRL"] > best_ovrl:
                 best_ovrl = scores["mean"]["OVRL"]
                 save_checkpoint(os.path.join(args.out, "checkpoint-best"),
-                                {"params_generator":
-                                 state["params_generator"]})
+                                {"params_generator": eval_params})
                 with open(f"{args.out}/best.json", "w") as f:
                     json.dump({"step": i + 1, "mean_ovrl": best_ovrl,
                                **scores}, f, indent=1)
@@ -285,10 +316,12 @@ def main():
                 print(f"BEST mean OVRL {best_ovrl:.3f} at step {i+1}",
                       flush=True)
 
+    final = {"params_generator": state["params_generator"],
+             "params_discriminator": state["params_discriminator"]}
+    if ema is not None:
+        final["params_gema"] = ema
     save_checkpoint(os.path.join(args.out, f"checkpoint-{args.steps}"),
-                    {"params_generator": state["params_generator"],
-                     "params_discriminator": state["params_discriminator"]},
-                    config=config)
+                    final, config=config)
     print(f"done in {time.time()-t0:.0f}s; artifacts in {args.out}", flush=True)
 
 
