@@ -4,3 +4,4 @@ from dl_speech_enhancement_tpu.parallel.mesh import (
     replicate,
     shard_train_state,
 )
+from dl_speech_enhancement_tpu.parallel.serve import make_sharded_stream

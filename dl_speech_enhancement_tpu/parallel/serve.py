@@ -1,0 +1,94 @@
+"""Multi-chip streaming serving: shard concurrent streams over a mesh.
+
+The single-chip runtime already batches concurrent streams through one
+dispatch (stream/runtime.py — the streams/chip headline). This module is
+the scale-out layer the reference has no analogue of (it runs tx/rx on at
+most two torch devices, bin/stream.py:26-35): N independent streams are
+sharded over the ``data`` axis of a ``jax.sharding.Mesh``, parameters are
+replicated, and the whole fleet advances with ONE jitted dispatch per
+frame — no collectives are needed (streams are independent), so per-stream
+work stays local to its chip and scaling over ICI is linear by
+construction. XLA's SPMD partitioner confirms that: the lowered program
+contains no cross-device communication.
+
+Layouts (a ``B``-stream fleet on ``D`` devices, ``B % D == 0``):
+
+- frames ``(N, B, F, C)``: sharded ``P(None, 'data')`` — each chip owns
+  ``B/D`` streams for all N queued frames;
+- cache pytree (leading batch dim): sharded ``P('data')``;
+- params / VQ state: replicated ``P()``.
+
+Use :func:`make_sharded_stream` exactly like ``make_scan_stream`` — the
+returned ``run(cache, frames)`` has the same signature and bit-identical
+per-stream results (pinned by tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dl_speech_enhancement_tpu.parallel.mesh import make_mesh
+
+__all__ = ["make_sharded_stream"]
+
+
+def make_sharded_stream(gen, params, vq_state=None, *, mesh: Mesh | None = None,
+                        batch: int | None = None):
+    """Build a mesh-sharded multi-stream chunk runner.
+
+    ``batch`` is the TOTAL stream count across the mesh (default: one
+    stream per device). Returns ``run(cache, frames) -> (audio, cache)``
+    (jitted, shardings pinned on inputs and outputs) with helpers
+    ``run.init_cache()`` (mesh-sharded cache) and ``run.shard_frames(x)``
+    (device_put a host ``(N, B, F, C)`` array with the stream sharding).
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = int(mesh.devices.size)
+    batch = n_dev if batch is None else int(batch)
+    if batch % n_dev != 0:
+        raise ValueError(
+            f"total stream count {batch} must divide over {n_dev} devices")
+
+    rep = NamedSharding(mesh, P())
+    cache_sh = NamedSharding(mesh, P("data"))
+    frames_sh = NamedSharding(mesh, P(None, "data"))
+
+    params = jax.device_put(params, rep)
+    if vq_state is not None:
+        vq_state = jax.device_put(vq_state, rep)
+        flat_cb = jax.device_put(gen.flat_codebook(vq_state), rep)
+    else:
+        flat_cb = None
+
+    def step(cache, frame):
+        z, enc_cache = gen.encode_step(params, cache, frame)
+        if gen.use_pqc:
+            idx = gen.quantize(vq_state, z)
+            zq = gen.lookup(flat_cb, idx)
+        else:
+            zq = z
+        y, dec_cache = gen.decode_step(params, cache, zq)
+        new_cache = dict(cache)
+        new_cache.update(enc_cache)
+        new_cache.update(dec_cache)
+        return new_cache, y
+
+    @jax.jit
+    def run(cache, frames):
+        cache, ys = jax.lax.scan(step, cache, frames)
+        ys = jax.lax.with_sharding_constraint(ys, frames_sh)
+        cache = jax.lax.with_sharding_constraint(cache, cache_sh)
+        return ys, cache
+
+    def init_cache():
+        return jax.device_put(gen.init_cache(batch), cache_sh)
+
+    def shard_frames(x):
+        return jax.device_put(x, frames_sh)
+
+    run.init_cache = init_cache
+    run.shard_frames = shard_frames
+    run.mesh = mesh
+    run.batch = batch
+    return run

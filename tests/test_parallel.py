@@ -234,3 +234,59 @@ def test_dp_scales_batch():
     clean = shard_batch(mesh, rng.standard_normal((16, 240, 1)).astype(np.float32))
     new_state, g, d, _, _ = steps["train_disc"](state, mixed, clean)
     assert np.isfinite(float(g)) and np.isfinite(float(d))
+
+
+# ------------------------------------------------------- sharded serving
+
+def _stream_frames(run, gen, x, chunk):
+    """Drive a make_*_stream runner over (B, T, C) audio in chunks."""
+    cache = run.init_cache()
+    frames = x.reshape(x.shape[0], -1, chunk, x.shape[-1]).transpose(1, 0, 2, 3)
+    ys, _ = run(cache, frames)
+    return np.asarray(ys)
+
+
+@pytest.mark.parametrize("use_pqc", [False, True])
+def test_sharded_stream_matches_single_device(rng, use_pqc):
+    """16 streams sharded over 8 devices must be bit-identical to the
+    single-device batched scan stream."""
+    from dl_speech_enhancement_tpu.parallel import make_sharded_stream
+    from dl_speech_enhancement_tpu.stream.runtime import make_scan_stream
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=use_pqc)
+    params, vq_state = gen.init(jax.random.PRNGKey(1))
+    hop = gen.hop
+    B, chunk = 16, hop * 2
+    x = rng.standard_normal((B, chunk * 6, 1)).astype(np.float32) * 0.3
+
+    single = make_scan_stream(gen, params, vq_state, batch=B, backend="xla")
+    ref_cache = single.init_cache()
+    frames = jnp.asarray(
+        x.reshape(B, -1, chunk, 1).transpose(1, 0, 2, 3))
+    ref, _ = single(ref_cache, frames)
+
+    mesh = make_mesh(8)
+    run = make_sharded_stream(gen, params, vq_state, mesh=mesh, batch=B)
+    got, new_cache = run(run.init_cache(), run.shard_frames(np.asarray(frames)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # cache stays stream-sharded across dispatches (no silent resharding)
+    leaf = jax.tree_util.tree_leaves(new_cache)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    # and the fleet program contains NO cross-device collectives — streams
+    # are independent, scaling over ICI is linear by construction
+    txt = run.lower(run.init_cache(),
+                    run.shard_frames(np.asarray(frames))).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, op
+
+
+def test_sharded_stream_rejects_indivisible_batch():
+    from dl_speech_enhancement_tpu.parallel import make_sharded_stream
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_stream(gen, params, mesh=make_mesh(8), batch=12)
