@@ -73,6 +73,7 @@ def main(argv=None):
         export_audiodec_generator,
         export_hifigan_discriminator,
         export_hifigan_generator,
+        export_univnet_discriminator,
     )
 
     config = (load_config(args.config) if args.config
@@ -123,13 +124,12 @@ def main(argv=None):
            "steps": int(state.get("steps", 0)),
            "epochs": int(state.get("epochs", 0))}
     if "params_discriminator" in state:
-        if model_type in ("symAudioDecUniv", "UnivNet"):
-            raise NotImplementedError(
-                "UnivNet (MRSD) discriminator export is not supported — "
-                "export the generator with --format course instead")
         disc = build_discriminator(model_type, config["discriminator_params"])
+        export_disc = (export_univnet_discriminator
+                       if model_type in ("symAudioDecUniv", "UnivNet")
+                       else export_hifigan_discriminator)
         out["model"]["discriminator"] = to_torch(
-            export_hifigan_discriminator(state["params_discriminator"], disc))
+            export_disc(state["params_discriminator"], disc))
     torch.save(out, args.out)
     logger.info("exported framework-format checkpoint (%s) -> %s "
                 "(reference side: load with load_only_params — optimizer "

@@ -37,6 +37,7 @@ __all__ = [
     "export_audiodec_generator",
     "export_hifigan_generator",
     "export_hifigan_discriminator",
+    "export_univnet_discriminator",
 ]
 
 
@@ -245,10 +246,34 @@ def export_hifigan_discriminator(params: dict, disc) -> dict:
             if j < len(layers) - 1:
                 base += ".0"
             _emit_conv(sd, base, lp)
-    mpd = params["mpd"]["discriminators"]
-    for i, dp in enumerate(mpd):
+    _emit_mpd(sd, params["mpd"])
+    return sd
+
+
+def _emit_mpd(sd: dict, mpd_params: dict) -> None:
+    for i, dp in enumerate(mpd_params["discriminators"]):
         b = f"mpd.discriminators.{i}"
         for j, cp in enumerate(dp["convs"]):
             _emit_conv(sd, f"{b}.convs.{j}.0", cp, two_d=True)
         _emit_conv(sd, f"{b}.output_conv", dp["output_conv"], two_d=True)
+
+
+def export_univnet_discriminator(params: dict, disc) -> dict:
+    """Our MRSD+MPD combo params -> reference state_dict
+    (models/vocoder/UnivNet.py:23-103).
+
+    MRSD layers sit in Sequentials except the bare final Conv2d
+    (discriminator.py:495-545); each resolution also registers its Hann
+    ``window`` buffer, emitted from our module's identical window.
+    """
+    sd: dict = {}
+    mrsd = params["mrsd"]["discriminators"]
+    for i, (d, dp) in enumerate(zip(disc.mrsd.discriminators, mrsd)):
+        b = f"mrsd.discriminators.{i}"
+        sd[f"{b}.window"] = _np(d.window)
+        layers = dp["layers"]
+        for j, lp in enumerate(layers):
+            base = f"{b}.layers.{j}" + (".0" if j < len(layers) - 1 else "")
+            _emit_conv(sd, base, lp, two_d=True)
+    _emit_mpd(sd, params["mpd"])
     return sd

@@ -314,3 +314,58 @@ def test_export_checkpoint_cli_roundtrip(rng, tmp_path):
     tg2 = TorchGen(input_channels=1, output_channels=1, mode="causal",
                    **SMALL)
     tg2.load_state_dict(sd, strict=True)
+
+
+@requires_reference
+def test_export_univnet_discriminator(rng):
+    """MRSD+MPD export: strict load into the reference combo (incl. the
+    per-resolution window buffers) + MPD forward numerics."""
+    add_reference_to_path()
+    _stub_torchaudio()
+    from models.vocoder.UnivNet import Discriminator as TorchDisc
+
+    from dl_speech_enhancement_tpu.models import UnivNetDiscriminator
+    from dl_speech_enhancement_tpu.utils.torch_export import (
+        export_univnet_discriminator,
+    )
+
+    sd_kw = {"channels": 8, "kernel_sizes": [[3, 3], [3, 3], [3, 3]],
+             "strides": [[1, 1], [1, 2], [1, 2]], "bias": True}
+    p_kw = {"in_channels": 1, "out_channels": 1, "kernel_sizes": [5, 3],
+            "channels": 8, "downsample_scales": [3, 3, 1],
+            "max_downsample_channels": 32}
+    ours = UnivNetDiscriminator(
+        fft_sizes=(64, 128), hop_sizes=(16, 32), win_lengths=(64, 128),
+        spectral_discriminator_params=sd_kw,
+        periods=(2, 3), period_discriminator_params=p_kw)
+    params = ours.init(jax.random.PRNGKey(11))
+    sd = export_univnet_discriminator(params, ours)
+
+    td = TorchDisc(
+        fft_sizes=[64, 128], hop_sizes=[16, 32], win_lengths=[64, 128],
+        spectral_discriminator_params={
+            **sd_kw, "nonlinear_activation": "LeakyReLU",
+            "nonlinear_activation_params": {"negative_slope": 0.2}},
+        periods=[2, 3],
+        period_discriminator_params={
+            **p_kw, "bias": True, "nonlinear_activation": "LeakyReLU",
+            "nonlinear_activation_params": {"negative_slope": 0.1},
+            "use_weight_norm": True, "use_spectral_norm": False},
+    )
+    td.load_state_dict(_to_torch(sd), strict=True)
+    td.eval()
+    for i, d in enumerate(td.mrsd.discriminators):
+        np.testing.assert_allclose(
+            d.window.numpy(),
+            np.asarray(ours.mrsd.discriminators[i].window), atol=1e-6)
+
+    x = rng.standard_normal((2, 1, 90)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = td.mpd(torch.tensor(x))
+    got = ours.mpd(params["mpd"], jnp.asarray(x.transpose(0, 2, 1)))
+    for g_outs, r_outs in zip(got, ref):
+        for g, r in zip(g_outs, r_outs):
+            r, g = r.numpy(), np.asarray(g)
+            if g.ndim == 4:
+                g = g.transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(g.reshape(r.shape), r, atol=2e-5)
