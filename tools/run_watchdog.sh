@@ -7,6 +7,13 @@
 # by pattern) and relaunches it with --auto-resume.
 #
 # Usage: tools/run_watchdog.sh <logfile> <pidfile> <stale_s> -- <cmd...>
+#
+# Pick <stale_s> WELL above the longest legitimate quiet phase: the trainer
+# writes nothing while saving the ~1 GB checkpoint-latest through the
+# tunnel (observed >15 min when the link is congested). A premature kill
+# mid-save is survivable — orbax only commits completed checkpoints, so
+# --auto-resume falls back to the previous snapshot — but it costs the
+# steps since that snapshot. 1800 s is a sane floor for the 64k-step runs.
 set -u
 LOG="$1"; PIDFILE="$2"; STALE="$3"; shift 3
 [ "$1" = "--" ] && shift
