@@ -5,3 +5,7 @@ from dl_speech_enhancement_tpu.parallel.mesh import (
     shard_train_state,
 )
 from dl_speech_enhancement_tpu.parallel.serve import make_sharded_stream
+from dl_speech_enhancement_tpu.parallel.time_shard import (
+    time_sharded_forward,
+    make_time_sharded_steps,
+)
