@@ -134,11 +134,16 @@ def main(argv=None):
     parser.add_argument("--exp-root", default="exp")
     parser.add_argument("--resume", default="", nargs="?")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--dp", type=int, default=None, metavar="N",
+                        help="data-parallel devices (-1 = all visible); "
+                        "overrides config key parallel.data_devices")
     args = parser.parse_args(argv)
 
     from dl_speech_enhancement_tpu.utils.config import load_config, save_config
 
     config = load_config(args.config)
+    if args.dp is not None:
+        config.setdefault("parallel", {})["data_devices"] = args.dp
     if args.seed is not None:
         config["seed"] = args.seed
     seed = config.get("seed", 1337)

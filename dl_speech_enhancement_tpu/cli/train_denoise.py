@@ -29,10 +29,15 @@ def main(argv=None):
     parser.add_argument("--clean-path", default=None)
     parser.add_argument("--noise-path", default=None)
     parser.add_argument("--job-dir", default="job_out")
+    parser.add_argument("--dp", type=int, default=None, metavar="N",
+                        help="data-parallel devices (-1 = all visible); "
+                        "overrides config key parallel.data_devices")
     args = parser.parse_args(argv)
 
     from dl_speech_enhancement_tpu.utils.config import load_config
     config = load_config(os.path.join(args.config_dir, args.config))
+    if args.dp is not None:
+        config.setdefault("parallel", {})["data_devices"] = args.dp
 
     env = args.environment
     if env == "LAPTOP":

@@ -33,6 +33,34 @@ def make_mesh(n_devices: int | None = None, axes=("data",)) -> Mesh:
     return Mesh(devices.reshape(n_devices, 1), axes)
 
 
+def mesh_from_config(config: dict) -> Mesh | None:
+    """Build the data mesh requested by ``config['parallel']`` — the
+    config-surface for DP training (an additive extension of the reference
+    YAML schema; absent section means single-device, like the reference):
+
+    .. code-block:: yaml
+
+        parallel:
+          data_devices: -1   # N data-parallel devices; -1 = all; 0/1 = off
+
+    Returns ``None`` when DP is off. The trainers replicate their state and
+    shard batches over the returned mesh (``shard_train_state`` /
+    ``shard_batch``); the jitted step functions themselves are unchanged —
+    XLA partitions them SPMD and inserts the gradient/EMA reductions.
+    """
+    n = int((config.get("parallel") or {}).get("data_devices", 1) or 1)
+    if n < 0:
+        n = len(jax.devices())
+    if n <= 1:
+        return None
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(
+            f"parallel.data_devices={n} but only {avail} devices are visible"
+        )
+    return make_mesh(n)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Shard array(s) batch-first over the 'data' axis."""
     sharding = NamedSharding(mesh, P("data"))

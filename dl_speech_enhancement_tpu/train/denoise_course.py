@@ -273,6 +273,26 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
     }
     steps_fns = make_course_steps(gen, disc, config, opt_g, opt_d)
 
+    # data parallelism from the config (`parallel.data_devices`): state
+    # replicated over the mesh, batches sharded; the jitted course steps
+    # are unchanged (XLA partitions them SPMD)
+    from dl_speech_enhancement_tpu.parallel.mesh import (
+        mesh_from_config, shard_batch, shard_train_state,
+    )
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        state = shard_train_state(mesh, state)
+        if config["batch_size"] % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {config['batch_size']} is not divisible by "
+                f"parallel.data_devices={mesh.shape['data']}"
+            )
+
+    def _put(a):
+        a = jnp.asarray(a)
+        return shard_batch(mesh, a) if mesh is not None else a
+
     mix_rng = np.random.default_rng(config.get("seed", 82))
     noise_dropout_rate = config["noise_dropout_rate"]
     epochs = config["epochs"]
@@ -311,7 +331,7 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
                               mix_rng.integers(10, 20))
             fn = steps_fns["train_disc" if discriminator_enabled else "train"]
             state, g_loss, d_loss, frags, gstats = fn(
-                state, jnp.asarray(mixed), jnp.asarray(clean_batch)
+                state, _put(mixed), _put(clean_batch)
             )
             steps += 1
             g_loss, d_loss = float(g_loss), float(d_loss)
@@ -347,8 +367,7 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
                 break
             mixed = add_noise(clean_batch, noise_batch, mix_rng.integers(10, 20))
             fn = steps_fns["eval_disc" if discriminator_enabled else "eval"]
-            g_loss, d_loss, _ = fn(state, jnp.asarray(mixed),
-                                   jnp.asarray(clean_batch))
+            g_loss, d_loss, _ = fn(state, _put(mixed), _put(clean_batch))
             gen_val += float(g_loss)
             dis_val += float(d_loss)
             n_val += 1

@@ -35,6 +35,8 @@ class TrainerGAN:
     ``self.state`` (the device pytree) + ``self.steps``/``self.epochs``."""
 
     def __init__(self, steps, epochs, data_loader, config):
+        from dl_speech_enhancement_tpu.parallel.mesh import mesh_from_config
+
         self.steps = int(steps)
         self.epochs = int(epochs)
         self.data_loader = data_loader
@@ -46,6 +48,43 @@ class TrainerGAN:
         self.total_eval_loss = defaultdict(float)
         self.finish_train = False
         self.state: dict = {}
+        # data parallelism from the config (`parallel.data_devices`):
+        # state replicated, batches sharded; the jitted workload steps are
+        # unchanged — XLA partitions them SPMD over the mesh
+        self.mesh = mesh_from_config(config)
+
+    # ------------------------------------------------------------------
+    def _shard_state(self):
+        """Replicate ``self.state`` over the DP mesh (no-op single-device).
+        Workload trainers call this once their state dict is built, and it
+        re-runs after a checkpoint restore (restored leaves land on the
+        default device)."""
+        if self.mesh is not None and self.state:
+            from dl_speech_enhancement_tpu.parallel.mesh import (
+                shard_train_state,
+            )
+
+            self.state = shard_train_state(self.mesh, self.state)
+
+    def _device_batch(self, batch):
+        """Batch array(s) → device: sharded over the DP mesh when one is
+        configured, plain ``jnp.asarray`` otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        if self.mesh is None:
+            return batch
+        from dl_speech_enhancement_tpu.parallel.mesh import shard_batch
+
+        n = self.mesh.shape["data"]
+        for leaf in jax.tree_util.tree_leaves(batch):
+            if leaf.shape[0] % n:
+                raise ValueError(
+                    f"batch size {leaf.shape[0]} is not divisible by "
+                    f"parallel.data_devices={n}"
+                )
+        return shard_batch(self.mesh, batch)
 
     # ------------------------------------------------------------------
     def _train_step(self, batch):  # pragma: no cover - abstract
@@ -167,3 +206,4 @@ class TrainerGAN:
             for key, value in restored.items():
                 if key in self.state:
                     self.state[key] = value
+        self._shard_state()

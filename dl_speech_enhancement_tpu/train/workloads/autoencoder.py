@@ -155,6 +155,7 @@ class Trainer(TrainerGAN):
             "opt_generator": self.opt_g.init(params_g),
             "opt_discriminator": self.opt_d.init(params_d),
         }
+        self._shard_state()
         self._steps_fns = make_autoencoder_steps(gen, disc, config,
                                                  self.opt_g, self.opt_d)
         start = config.get("start_steps", {})
@@ -162,7 +163,7 @@ class Trainer(TrainerGAN):
         self.discriminator_start = start.get("discriminator", 200000)
 
     def _train_step(self, batch):
-        x = jnp.asarray(batch)
+        x = self._device_batch(batch)
         if self.steps >= self.generator_start:
             if self.steps < self.discriminator_start:
                 self.state, frags, ppl = self._steps_fns["gen_stage1"](self.state, x)
@@ -177,7 +178,7 @@ class Trainer(TrainerGAN):
         self._check_train_finish()
 
     def _eval_step(self, batch):
-        x = jnp.asarray(batch)
+        x = self._device_batch(batch)
         fn = ("eval_stage2" if self.steps >= self.discriminator_start
               else "eval_stage1")
         frags, ppl = self._steps_fns[fn](self.state, x)

@@ -81,20 +81,21 @@ class Trainer(TrainerGAN):
             "vq_state": vq_state,
             "opt_generator": self.opt_g.init(params_g),
         }
+        self._shard_state()
         self._steps_fns = make_denoise_steps(gen, config, self.opt_g)
 
     def _train_step(self, batch):
-        x_n, x_c = batch
+        x_n, x_c = self._device_batch(tuple(batch))
         self.state, frags, ppl = self._steps_fns["train"](
-            self.state, jnp.asarray(x_n), jnp.asarray(x_c)
+            self.state, x_n, x_c
         )
         self._record_losses(frags, "train")
         self.steps += 1
         self._check_train_finish()
 
     def _eval_step(self, batch):
-        x_n, x_c = batch
+        x_n, x_c = self._device_batch(tuple(batch))
         frags, ppl = self._steps_fns["eval"](
-            self.state, jnp.asarray(x_n), jnp.asarray(x_c)
+            self.state, x_n, x_c
         )
         self._record_losses(frags, "eval")

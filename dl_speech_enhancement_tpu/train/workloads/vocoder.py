@@ -134,13 +134,14 @@ class Trainer(TrainerGAN):
             "opt_generator": self.opt_g.init(params_g),
             "opt_discriminator": self.opt_d.init(params_d),
         }
+        self._shard_state()
         self._steps_fns = make_vocoder_steps(analyzer, gen, disc, config,
                                              self.opt_g, self.opt_d)
         self.generator_start = config.get("generator_train_start_steps", 0)
         self.discriminator_start = config.get("discriminator_train_start_steps", 0)
 
     def _train_step(self, batch):
-        x = jnp.asarray(batch)
+        x = self._device_batch(batch)
         if self.steps > self.generator_start:
             fn = "gen_adv" if self.steps > self.discriminator_start else "gen"
             self.state, frags = self._steps_fns[fn](self.state, x)
@@ -152,7 +153,7 @@ class Trainer(TrainerGAN):
         self._check_train_finish()
 
     def _eval_step(self, batch):
-        x = jnp.asarray(batch)
+        x = self._device_batch(batch)
         fn = "eval_adv" if self.steps > self.discriminator_start else "eval"
         frags = self._steps_fns[fn](self.state, x)
         self._record_losses(frags, "eval")

@@ -290,3 +290,125 @@ def test_sharded_stream_rejects_indivisible_batch():
     params, _ = gen.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="divide"):
         make_sharded_stream(gen, params, mesh=make_mesh(8), batch=12)
+
+
+# ---------------------------------------------------------------------------
+# config-driven DP: trainers build their mesh from `parallel.data_devices`
+# (cli/train.py --dp / cli/train_denoise.py --dp set the same key)
+
+
+def _sine_batch(rng, b, t=240):
+    ph = rng.uniform(0, np.pi, (b, 1, 1))
+    tt = np.arange(t)[None, :, None] / 48.0
+    return (np.sin(2 * np.pi * tt + ph) * 0.5).astype(np.float32)
+
+
+TRAINER_CONFIG = dict(
+    CONFIG, outdir=None, use_mel_loss=True, lambda_vq_loss=1.0,
+    use_feat_match_loss=True,
+    generator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+    discriminator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+    generator_grad_norm=-1, discriminator_grad_norm=-1,
+    save_interval_steps=10**9, eval_interval_steps=10**9,
+    log_interval_steps=10**9, train_max_steps=10, batch_size=8, seed=0,
+    start_steps={"generator": 0, "discriminator": 2},
+)
+
+
+def test_trainer_dp_from_config_matches_single_device(tmp_path, rng):
+    """An autoencoder Trainer built with `parallel.data_devices: -1` takes
+    the same steps as the single-device one: 2 stage-1 steps (VQ-EMA psum
+    in play) then a stage-2 + discriminator step, identical params/EMA."""
+    from dl_speech_enhancement_tpu.train.workloads.autoencoder import Trainer
+
+    batches = [_sine_batch(rng, 8) for _ in range(3)]
+
+    def run(parallel):
+        config = dict(TRAINER_CONFIG, outdir=str(tmp_path))
+        if parallel:
+            config["parallel"] = {"data_devices": -1}
+        gen = AudioDecGenerator(**SMALL, use_pqc=True)
+        disc = HiFiGANDiscriminator(**TINY_DISC)
+        tr = Trainer(0, 0, {"train": batches}, gen, disc, config,
+                     key=jax.random.PRNGKey(0))
+        if parallel:
+            assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+            leaf = jax.tree_util.tree_leaves(tr.state)[0]
+            assert len(leaf.sharding.device_set) == 8
+        for b in batches:
+            tr._train_step(b)
+        return (jax.tree_util.tree_map(np.asarray,
+                                       tr.state["params_generator"]),
+                np.asarray(tr.state["vq_state"].embed),
+                dict(tr.total_train_loss))
+
+    p_dp, vq_dp, losses_dp = run(True)
+    p_1, vq_1, losses_1 = run(False)
+    for a, b in zip(jax.tree_util.tree_leaves(p_dp),
+                    jax.tree_util.tree_leaves(p_1)):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(vq_dp, vq_1, atol=5e-5)
+    assert set(losses_dp) == set(losses_1)
+    for k in losses_1:
+        np.testing.assert_allclose(losses_dp[k], losses_1[k],
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_trainer_dp_rejects_indivisible_batch(tmp_path, rng):
+    from dl_speech_enhancement_tpu.train.workloads.denoise import Trainer
+
+    config = dict(TRAINER_CONFIG, outdir=str(tmp_path),
+                  parallel={"data_devices": 8})
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    tr = Trainer(0, 0, {}, gen, config, key=jax.random.PRNGKey(0))
+    b = (_sine_batch(rng, 3), _sine_batch(rng, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        tr._train_step(b)
+
+
+def test_course_loop_dp_from_config(tmp_path, rng):
+    """The course loop with `parallel.data_devices` produces the same
+    training trajectory as single-device (same seed => same host-side
+    mixing), including the epoch-gated discriminator phase."""
+    from dl_speech_enhancement_tpu.train.denoise_course import (
+        train_denoise_course,
+    )
+
+    base = dict(
+        sample_rate=4800, epochs=2, epoch_to_enable_discriminator=1,
+        noise_dropout_rate=0.0, noise_dropout_rate_decay=0.0,
+        epoch_to_enable_noise_dropout_decay=0, seed=0, step=0,
+        mel_loss_params=CONFIG["mel_loss_params"], lambda_mel_loss=45.0,
+        lambda_snr_loss=1.0, lambda_adv=1.0, lambda_feat_match=2.0,
+        generator_adv_loss_params={"average_by_discriminators": False},
+        discriminator_adv_loss_params={"average_by_discriminators": False},
+        generator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+        discriminator_optimizer_params={"lr": 1e-3, "betas": [0.5, 0.9]},
+        generator_grad_norm=-1, discriminator_grad_norm=-1, batch_size=8,
+    )
+    clean = [_sine_batch(rng, 8) for _ in range(2)]
+    noise = [0.3 * rng.standard_normal((8, 240, 1)).astype(np.float32)
+             for _ in range(2)]
+
+    def run(parallel):
+        config = dict(base)
+        if parallel:
+            config["parallel"] = {"data_devices": 8}
+        gen = AudioDecGenerator(**SMALL, use_pqc=False)
+        disc = HiFiGANDiscriminator(**TINY_DISC)
+        state, history = train_denoise_course(
+            config, gen, disc, (clean, noise), (clean[:1], noise[:1]),
+            environment="LAPTOP", job_dir=str(tmp_path),
+            key=jax.random.PRNGKey(0))
+        return (jax.tree_util.tree_map(np.asarray,
+                                       state["params_generator"]),
+                history)
+
+    p_dp, h_dp = run(True)
+    p_1, h_1 = run(False)
+    for a, b in zip(jax.tree_util.tree_leaves(p_dp),
+                    jax.tree_util.tree_leaves(p_1)):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-3)
+    assert h_dp[1]["train_dis"] != 0.0
+    np.testing.assert_allclose(h_dp[-1]["val_gen"], h_1[-1]["val_gen"],
+                               rtol=5e-3)
