@@ -143,7 +143,9 @@ def main(argv=None):
 
     config = load_config(args.config)
     if args.dp is not None:
-        config.setdefault("parallel", {})["data_devices"] = args.dp
+        # a bare `parallel:` YAML section loads as None — don't setdefault
+        config["parallel"] = dict(config.get("parallel") or {},
+                                  data_devices=args.dp)
     if args.seed is not None:
         config["seed"] = args.seed
     seed = config.get("seed", 1337)

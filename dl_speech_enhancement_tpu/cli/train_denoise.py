@@ -37,7 +37,9 @@ def main(argv=None):
     from dl_speech_enhancement_tpu.utils.config import load_config
     config = load_config(os.path.join(args.config_dir, args.config))
     if args.dp is not None:
-        config.setdefault("parallel", {})["data_devices"] = args.dp
+        # a bare `parallel:` YAML section loads as None — don't setdefault
+        config["parallel"] = dict(config.get("parallel") or {},
+                                  data_devices=args.dp)
 
     env = args.environment
     if env == "LAPTOP":

@@ -34,8 +34,11 @@ ICI:
   term is computed on exactly one device, halo cotangents flow back to
   the producing device through the ``ppermute`` transpose (for the code
   halo: through the neighbour's quantizer straight-through estimator into
-  its encoder), and parameter gradients are ``psum``-reduced over the
-  axis. Recomputing the tx receptive field once per boundary is the only
+  its encoder), and parameter gradients ``pmean``-reduce over the axis
+  (each device's local gradient already carries the full global cotangent
+  through the in-loss collective transposes — the mean, not the sum, is
+  the exact gradient; pinned with a scale-sensitive SGD optimizer in the
+  tests). Recomputing the tx receptive field once per boundary is the only
   overhead — the same trade rematerialization makes, ~0.15 s of audio per
   boundary for the 48 kHz flagship.
 
@@ -131,12 +134,16 @@ def _shard_forward(gen, params, vq_state, x, *, he, he_frames, hd_frames,
 
 
 def _check_shapes(x, n_shards, hop, he, hd_frames):
-    assert x.shape[1] % (n_shards * hop) == 0, (
-        f"T={x.shape[1]} must be a multiple of {n_shards} shards x hop {hop}")
+    if x.shape[1] % (n_shards * hop):
+        raise ValueError(
+            f"T={x.shape[1]} must be a multiple of {n_shards} shards x "
+            f"hop {hop}")
     t_shard = x.shape[1] // n_shards
-    assert t_shard >= max(he, hd_frames * hop), (
-        f"shards of {t_shard} samples are shorter than the halo "
-        f"(enc {he} / dec {hd_frames * hop} samples) — use fewer time shards")
+    if t_shard < max(he, hd_frames * hop):
+        raise ValueError(
+            f"shards of {t_shard} samples are shorter than the halo "
+            f"(enc {he} / dec {hd_frames * hop} samples) — use fewer time "
+            f"shards")
 
 
 def time_sharded_forward(gen, mesh, axis: str = "time", overlap=None,
@@ -218,7 +225,14 @@ def make_time_sharded_steps(gen, config: dict, optimizer, mesh,
     def _train_local(params, vq_state, x, target):
         (loss, (frags, new_vq)), grads = jax.value_and_grad(
             _local_loss, has_aux=True)(params, vq_state, x, target, True)
-        return loss, frags, lax.psum(grads, all_axes), new_vq
+        # pmean, NOT psum: differentiating inside shard_map seeds every
+        # device's (replicated) loss output with cotangent 1, and the
+        # psum/pmean transposes inside _local_loss already route the full
+        # global cotangent to each device — summing the per-device grads
+        # would scale them by the mesh size (invisible under Adam +
+        # global-norm clip, which are scale-invariant; pinned by the SGD
+        # equivalence test against blocked_reference_step).
+        return loss, frags, lax.pmean(grads, all_axes), new_vq
 
     # check_vma=False: the FFT transpose rule inside the mel loss trips the
     # static varying-axes checker under grad (cotangent typed as varying

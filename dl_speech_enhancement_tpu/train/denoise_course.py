@@ -290,8 +290,9 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
             )
 
     def _put(a):
-        a = jnp.asarray(a)
-        return shard_batch(mesh, a) if mesh is not None else a
+        # host arrays go straight to the mesh sharding (one transfer per
+        # shard), not via the default device
+        return shard_batch(mesh, a) if mesh is not None else jnp.asarray(a)
 
     mix_rng = np.random.default_rng(config.get("seed", 82))
     noise_dropout_rate = config["noise_dropout_rate"]

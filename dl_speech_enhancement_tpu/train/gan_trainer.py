@@ -68,20 +68,22 @@ class TrainerGAN:
 
     def _device_batch(self, batch):
         """Batch array(s) → device: sharded over the DP mesh when one is
-        configured, plain ``jnp.asarray`` otherwise."""
+        configured, plain ``jnp.asarray`` otherwise. Host arrays go
+        straight to the mesh sharding (one transfer per shard) — never via
+        the default device."""
         import jax
         import jax.numpy as jnp
+        import numpy as np
 
-        batch = jax.tree_util.tree_map(jnp.asarray, batch)
         if self.mesh is None:
-            return batch
+            return jax.tree_util.tree_map(jnp.asarray, batch)
         from dl_speech_enhancement_tpu.parallel.mesh import shard_batch
 
         n = self.mesh.shape["data"]
         for leaf in jax.tree_util.tree_leaves(batch):
-            if leaf.shape[0] % n:
+            if np.shape(leaf)[0] % n:
                 raise ValueError(
-                    f"batch size {leaf.shape[0]} is not divisible by "
+                    f"batch size {np.shape(leaf)[0]} is not divisible by "
                     f"parallel.data_devices={n}"
                 )
         return shard_batch(self.mesh, batch)

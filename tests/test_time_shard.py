@@ -197,5 +197,42 @@ def test_shard_too_short_raises(rng):
     mesh = _time_mesh(8)
     fwd = time_sharded_forward(gen, mesh)
     x = rng.standard_normal((1, 8 * gen.hop, 1)).astype(np.float32)
-    with pytest.raises(AssertionError, match="shorter than the halo"):
+    with pytest.raises(ValueError, match="shorter than the halo"):
         fwd(params, None, _shard(mesh, x, P(None, "time")))
+
+
+def test_train_step_gradients_exact_under_sgd(rng):
+    """Raw-gradient equivalence with a SCALE-SENSITIVE optimizer: plain SGD
+    updates from the sharded step must match the single-device blocked
+    step. Adam + global-norm clipping are invariant to uniform gradient
+    scaling, so the trajectory tests above cannot catch a mesh-size factor
+    on the gradients (the psum-vs-pmean reduction bug); this test can."""
+    import optax
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(5))
+    opt = optax.sgd(1e-2)
+    n_shards = 4
+    mesh = _time_mesh(n_shards)
+    frames = max(-(-gen.receptive_length // gen.hop),
+                 decoder_receptive_frames(gen.decoder)) + 6
+    x = _clip(rng, gen, n_shards, frames)
+    target = x + 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+
+    steps = make_time_sharded_steps(gen, CONFIG, opt, mesh)
+    ref_step = blocked_reference_step(gen, CONFIG, opt, n_shards)
+
+    state = {"params_generator": jax.tree.map(jnp.array, params),
+             "opt_generator": opt.init(params)}
+    ref_state = {"params_generator": jax.tree.map(jnp.array, params),
+                 "opt_generator": opt.init(params)}
+    state, loss, _ = steps["train"](
+        state, _shard(mesh, x, P(None, "time")),
+        _shard(mesh, target, P(None, "time")))
+    ref_state, ref_loss, _ = ref_step(ref_state, jnp.asarray(x),
+                                      jnp.asarray(target))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state["params_generator"]),
+                    jax.tree_util.tree_leaves(ref_state["params_generator"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
