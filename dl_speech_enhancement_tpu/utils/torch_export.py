@@ -158,8 +158,10 @@ def export_audiodec_generator(params: dict, vq_state, gen,
         code_dim = int(cfg.get("code_dim", 64))
         n_books = int(cfg.get("codebook_num", 8))
         book = int(cfg.get("codebook_size", 1024))
-        decode_channels = int(cfg.get("decode_channels", 32))
-        enc_out = decode_channels * list(cfg.get("dec_ratios", (16, 8, 4, 2)))[0]
+        # the reference Projector's in_channels is the ENCODER output width
+        # (models/autoencoder/AudioDec.py:78-86) — not the decoder's; they
+        # only coincide for symmetric channel plans
+        enc_out = gen.encoder.out_channels
         sd["projector.project.pad_buffer"] = np.zeros(
             (1, enc_out, 2), np.float32)
         sd["projector.project.conv.weight"] = (

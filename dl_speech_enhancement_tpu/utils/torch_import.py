@@ -225,16 +225,21 @@ def import_hifigan_generator(sd: dict, gen):
     """
 
     def resblock(base: str) -> dict:
-        return {
+        out = {
             "convs1": [
                 _conv(sd, f"{base}.convs1.{k}.conv")
                 for k in range(_count(sd, base + ".convs1.{}"))
             ],
-            "convs2": [
-                _conv(sd, f"{base}.convs2.{k}.conv")
-                for k in range(_count(sd, base + ".convs2.{}"))
-            ],
         }
+        # use_additional_convs=False checkpoints carry no convs2 at all;
+        # our init tree omits the key then (models/hifigan.py) — an empty
+        # list here would fail the like-tree structure check on import
+        n2 = _count(sd, base + ".convs2.{}")
+        if n2:
+            out["convs2"] = [
+                _conv(sd, f"{base}.convs2.{k}.conv") for k in range(n2)
+            ]
+        return out
 
     blocks = []
     for i in range(_count(sd, "blocks.{}")):

@@ -51,3 +51,28 @@ def add_reference_to_path():
 requires_reference = pytest.mark.skipif(
     not has_reference(), reason="upstream reference repo not mounted"
 )
+
+# shared small-but-complete generator topology for the checkpoint
+# import/export golden suites (both sides must test the SAME model)
+SMALL_TOPOLOGY = dict(
+    encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
+    codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
+    enc_strides=(3, 4), dec_strides=(4, 3),
+)
+
+
+def stub_torchaudio():
+    """Reference model modules import torchaudio at module scope (for the
+    MRSD spectrogram); it is not installed here — stub just enough for the
+    imports used by the non-MRSD parity tests."""
+    import sys
+    import types
+
+    if "torchaudio" in sys.modules:
+        return
+    ta = types.ModuleType("torchaudio")
+    func = types.ModuleType("torchaudio.functional")
+    func.spectrogram = lambda *a, **k: None
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.functional"] = func
+    ta.functional = func

@@ -238,14 +238,6 @@ def test_dp_scales_batch():
 
 # ------------------------------------------------------- sharded serving
 
-def _stream_frames(run, gen, x, chunk):
-    """Drive a make_*_stream runner over (B, T, C) audio in chunks."""
-    cache = run.init_cache()
-    frames = x.reshape(x.shape[0], -1, chunk, x.shape[-1]).transpose(1, 0, 2, 3)
-    ys, _ = run(cache, frames)
-    return np.asarray(ys)
-
-
 @pytest.mark.parametrize("use_pqc", [False, True])
 def test_sharded_stream_matches_single_device(rng, use_pqc):
     """16 streams sharded over 8 devices must be bit-identical to the
@@ -267,20 +259,22 @@ def test_sharded_stream_matches_single_device(rng, use_pqc):
 
     mesh = make_mesh(8)
     run = make_sharded_stream(gen, params, vq_state, mesh=mesh, batch=B)
-    got, new_cache = run(run.init_cache(), run.shard_frames(np.asarray(frames)))
+    # compile ONCE (AOT) and reuse: the collective-free assertion and the
+    # execution share the executable (jit's cache is separate)
+    sharded_frames = run.shard_frames(np.asarray(frames))
+    compiled = run.lower(run.init_cache(), sharded_frames).compile()
+    # the fleet program contains NO cross-device collectives — streams
+    # are independent, scaling over ICI is linear by construction
+    txt = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, op
+    got, new_cache = compiled(run.init_cache(), sharded_frames)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     # cache stays stream-sharded across dispatches (no silent resharding)
     leaf = jax.tree_util.tree_leaves(new_cache)[0]
     assert len(leaf.sharding.device_set) == 8
-
-    # and the fleet program contains NO cross-device collectives — streams
-    # are independent, scaling over ICI is linear by construction
-    txt = run.lower(run.init_cache(),
-                    run.shard_frames(np.asarray(frames))).compile().as_text()
-    for op in ("all-reduce", "all-gather", "collective-permute",
-               "all-to-all", "reduce-scatter"):
-        assert op not in txt, op
 
 
 def test_sharded_stream_rejects_indivisible_batch():

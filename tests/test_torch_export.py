@@ -26,28 +26,12 @@ from dl_speech_enhancement_tpu.utils.torch_export import (
     export_hifigan_generator,
 )
 
-SMALL = dict(
-    encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
-    codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
-    enc_strides=(3, 4), dec_strides=(4, 3),
-)
-
-
-def _stub_torchaudio():
-    import sys
-    import types
-
-    if "torchaudio" in sys.modules:
-        return
-    ta = types.ModuleType("torchaudio")
-    func = types.ModuleType("torchaudio.functional")
-    func.spectrogram = lambda *a, **k: None
-    sys.modules["torchaudio"] = ta
-    sys.modules["torchaudio.functional"] = func
-    ta.functional = func
+from conftest import SMALL_TOPOLOGY as SMALL
+from conftest import stub_torchaudio as _stub_torchaudio
 
 
 def _to_torch(sd):
+    # mirrors the (function-local) to_torch inside cli/export_checkpoint
     return {k: torch.from_numpy(np.ascontiguousarray(v))
             for k, v in sd.items()}
 

@@ -32,25 +32,8 @@ from dl_speech_enhancement_tpu.utils.torch_import import (
     import_univnet_discriminator,
 )
 
-SMALL = dict(
-    encode_channels=8, decode_channels=8, code_dim=16, codebook_num=2,
-    codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
-    enc_strides=(3, 4), dec_strides=(4, 3),
-)
-
-
-def _stub_torchaudio():
-    import sys
-    import types
-
-    if "torchaudio" in sys.modules:
-        return
-    ta = types.ModuleType("torchaudio")
-    func = types.ModuleType("torchaudio.functional")
-    func.spectrogram = lambda *a, **k: None
-    ta.functional = func
-    sys.modules["torchaudio"] = ta
-    sys.modules["torchaudio.functional"] = func
+from conftest import SMALL_TOPOLOGY as SMALL
+from conftest import stub_torchaudio as _stub_torchaudio
 
 
 @requires_reference
@@ -385,3 +368,35 @@ def test_import_checkpoint_cli_course_format(rng, tmp_path):
     y, *_ = gen(state["params_generator"], None, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), y_t,
                                atol=1e-4)
+
+
+@requires_reference
+def test_import_hifigan_generator_no_additional_convs(rng):
+    """use_additional_convs=False checkpoints carry no convs2 keys at all;
+    the importer must omit the key (our init tree does) rather than emit an
+    empty list that fails the like-tree structure check."""
+    add_reference_to_path()
+    _stub_torchaudio()
+    from models.vocoder.HiFiGAN import Generator as TorchHiFiGAN
+
+    kw = dict(in_channels=16, out_channels=1, channels=64, kernel_size=7,
+              upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+              resblock_kernel_sizes=(3, 7), groups=1, bias=True,
+              use_additional_convs=False)
+    tg = TorchHiFiGAN(**kw, resblock_dilations=[(1, 3), (1, 3)],
+                      use_weight_norm=True, stats=None)
+    tg.eval()
+
+    ours = HiFiGANGenerator(**kw, resblock_dilations=((1, 3), (1, 3)))
+    params, got_stats = import_hifigan_generator(tg.state_dict(), ours)
+    assert got_stats is None
+    # structural agreement with our init tree (what load_checkpoint checks)
+    like = ours.init(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(like))
+
+    c = rng.standard_normal((2, 16, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.tensor(c)).numpy()
+    got = np.asarray(ours(params, jnp.asarray(c.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), ref, atol=2e-5)

@@ -58,9 +58,11 @@ def main():
         tail = sum(r["mean"]["OVRL"] for r in disc[-5:]) / 5
         print(f"\ndisc-phase OVRL: first-5-eval mean {head:.3f} -> "
               f"last-5-eval mean {tail:.3f}")
+    import math
+
     n_nan = sum(1 for r in rows
-                if not (r["g_loss"] == r["g_loss"]
-                        and r["d_loss"] == r["d_loss"]))
+                if not (math.isfinite(r["g_loss"])
+                        and math.isfinite(r["d_loss"])))
     print(f"evals: {len(rows)}; non-finite losses: {n_nan}")
 
 

@@ -177,7 +177,18 @@ def main():
         meta_path = os.path.join(os.path.dirname(os.path.abspath(resume_path)),
                                  "latest-step.json")
         like = dict(state, params_gema=ema) if ema is not None else state
-        restored = load_checkpoint(resume_path, like=like)
+        try:
+            restored = load_checkpoint(resume_path, like=like)
+        except Exception:
+            if ema is None:
+                raise
+            # checkpoint predates --g-ema (no params_gema stored): restore
+            # without it and seed the EMA from the restored generator
+            restored = load_checkpoint(resume_path, like=state)
+            restored = dict(
+                restored,
+                params_gema=jax.tree.map(jnp.array,
+                                         restored["params_generator"]))
         if ema is not None:
             ema = restored.pop("params_gema")
         state = restored
@@ -273,6 +284,12 @@ def main():
         # wedged it — see tools/train_bench.py) at <1% throughput cost
         if i % 10 == 0 or i == args.steps - 1:
             g, d = float(g_loss), float(d_loss)
+            if ema is not None:
+                # fence the (donated) EMA dispatch chain at the same
+                # cadence — its values are otherwise never fetched until
+                # the next eval, and deep donated queues wedge the
+                # tunneled backend (CLAUDE.md)
+                float(jnp.sum(jax.tree_util.tree_leaves(ema)[0]))
             if not (np.isfinite(g) and np.isfinite(d)):
                 print(f"FATAL: non-finite loss at step {i}: g={g} d={d}",
                       flush=True)

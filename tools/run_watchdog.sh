@@ -23,6 +23,12 @@ while true; do
   [ -f "$PIDFILE" ] || continue
   PID=$(cat "$PIDFILE")
   if ! kill -0 "$PID" 2>/dev/null; then
+    # completed runs print "done in <s>s"; never relaunch those (a blind
+    # relaunch would re-restore ~1 GB through the tunnel forever)
+    if grep -q "^done in " "$LOG" 2>/dev/null; then
+      echo "[watchdog] trainer completed; exiting" >> "$LOG"
+      exit 0
+    fi
     echo "[watchdog] trainer $PID gone; relaunching" >> "$LOG"
     nohup "$@" >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
