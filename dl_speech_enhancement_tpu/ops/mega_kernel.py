@@ -57,9 +57,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _elu(x):
-    # expm1 has no Mosaic lowering; exp(x)-1 is fine in f32 for x <= 0
-    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+# one canonical Mosaic-safe ELU for the ops package
+from dl_speech_enhancement_tpu.ops.stream_kernel import _elu  # noqa: E402
 
 
 def _ceil_div(a, b):

@@ -37,9 +37,8 @@ def _round_up(x, m):
 
 
 @functools.lru_cache(maxsize=8)
-def _bases(n_fft: int, win_length: int, sr: int, n_mels: int, fmin: float,
-           fmax: float):
-    """Windowed DFT bases and mel matrix, padded to lane multiples."""
+def _dft_bases(n_fft: int, win_length: int):
+    """Windowed real-DFT cos/sin bases, freq axis padded to lane multiples."""
     n_freq = n_fft // 2 + 1
     win = np.zeros(n_fft, np.float32)
     w = np.asarray(hann_window(win_length))
@@ -50,16 +49,47 @@ def _bases(n_fft: int, win_length: int, sr: int, n_mels: int, fmin: float,
     ang = 2.0 * np.pi * t * k / n_fft
     cos_b = (np.cos(ang) * win[:, None]).astype(np.float32)
     sin_b = (-np.sin(ang) * win[:, None]).astype(np.float32)
-    mel = mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax)
     # pad freq axis to a multiple of 128 so MXU tiles cleanly
     n_freq_p = _round_up(n_freq, 128)
     pad = n_freq_p - n_freq
     cos_b = np.pad(cos_b, ((0, 0), (0, pad)))
     sin_b = np.pad(sin_b, ((0, 0), (0, pad)))
-    mel = np.pad(mel, ((0, pad), (0, 0)))
+    return jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+
+@functools.lru_cache(maxsize=8)
+def _bases(n_fft: int, win_length: int, sr: int, n_mels: int, fmin: float,
+           fmax: float):
+    """DFT bases + mel matrix, padded to lane multiples."""
+    cos_b, sin_b = _dft_bases(n_fft, win_length)
+    n_freq = n_fft // 2 + 1
+    mel = mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax)
+    mel = np.pad(mel, ((0, cos_b.shape[1] - n_freq), (0, 0)))
     n_mels_p = _round_up(n_mels, 128)
     mel = np.pad(mel, ((0, 0), (0, n_mels_p - n_mels)))
-    return jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel)
+    return cos_b, sin_b, jnp.asarray(mel)
+
+
+# Above ~5k frame rows per pallas call the TPU backend starts staging the
+# full operands on the scoped-VMEM stack and the compile aborts (seen at
+# batch-64 training: 10368 rows OOM, 5248 rows fine); big inputs are fed
+# through the kernels in equal chunks via lax.map — same blocks, same
+# numerics, one extra scan level. Chunk count/size are derived from the
+# (static) row total so padding waste stays under one block per chunk.
+_MAX_CHUNK_ROWS = 4096
+
+
+def _run_chunked(core, flat, total: int, block_frames: int, out_cols: int):
+    if total > _MAX_CHUNK_ROWS:
+        n = -(-total // _MAX_CHUNK_ROWS)
+        rows = _round_up(-(-total // n), block_frames)
+        total_p = rows * n
+        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+        out = jax.lax.map(core, flat.reshape(n, rows, flat.shape[1]))
+        return out.reshape(total_p, out_cols)
+    total_p = _round_up(total, block_frames)
+    flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
+    return core(flat)
 
 
 def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, eps, log_base):
@@ -94,6 +124,10 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
         win_length = n_fft
     if fmax is None:
         fmax = sr / 2
+    if log_base not in (None, 2.0, 10.0):
+        # match the XLA path (dsp.mel) — fail loudly instead of silently
+        # computing log10 for an unsupported base
+        raise ValueError(f"unsupported log_base: {log_base}")
     cos_b, sin_b, mel_m = _bases(n_fft, win_length, sr, n_mels, fmin, fmax)
     n_freq_p = cos_b.shape[1]
     n_mels_p = mel_m.shape[1]
@@ -147,14 +181,6 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
 
     core.defvjp(core_fwd, core_bwd)
 
-    # Above ~5k frame rows per pallas call the TPU backend starts staging
-    # the full operands on the scoped-VMEM stack and the compile aborts
-    # (seen at batch-64 training: 10368 rows OOM, 5248 rows fine), so big
-    # inputs are fed through the kernel in fixed-size chunks via lax.map —
-    # same blocks, same numerics, one extra scan level.
-    chunk_rows = 4096
-    assert chunk_rows % block_frames == 0
-
     def fn(x: jax.Array) -> jax.Array:
         if x.ndim == 3:  # (B, C, T) -> (B*C, T), like MelSpectrogram
             x = x.reshape(-1, x.shape[-1])
@@ -165,15 +191,7 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
         n_frames = frames.shape[1]
         flat = frames.reshape(b * n_frames, n_fft)
         total = flat.shape[0]
-        if total > chunk_rows:
-            total_p = _round_up(total, chunk_rows)
-            flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-            out = jax.lax.map(core, flat.reshape(-1, chunk_rows, n_fft))
-            out = out.reshape(total_p, n_mels_p)
-        else:
-            total_p = _round_up(total, block_frames)
-            flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-            out = core(flat)
+        out = _run_chunked(core, flat, total, block_frames, n_mels_p)
         return out[:total, :n_mels].reshape(b, n_frames, n_mels)
 
     return fn
@@ -201,7 +219,7 @@ def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
     loss front-end (dsp.stft.stft_magnitude semantics)."""
     from jax.experimental import pallas as pl
 
-    cos_b, sin_b, _ = _bases(n_fft, win_length, 16000, 1, 0.0, 8000.0)
+    cos_b, sin_b = _dft_bases(n_fft, win_length)
     n_freq = n_fft // 2 + 1
     n_freq_p = cos_b.shape[1]
 
@@ -232,9 +250,8 @@ def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
         im = flat @ sin_b
         power = re * re + im * im
         amp = jnp.sqrt(jnp.maximum(power, eps))
-        # pad grad to the lane-padded freq width
-        g = jnp.pad(g, ((0, 0), (0, n_freq_p - g.shape[1]))) \
-            if g.shape[1] != n_freq_p else g
+        # g always has the lane-padded width: core's primal output is
+        # (rows, n_freq_p); the unpadded slice lives outside core in fn()
         d_power = jnp.where(power >= eps, g * 0.5 / amp, 0.0)
         d_flat = (2.0 * re * d_power) @ cos_b.T + (2.0 * im * d_power) @ sin_b.T
         return (d_flat,)
@@ -251,9 +268,9 @@ def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
         n_frames = frames.shape[1]
         flat = frames.reshape(b * n_frames, n_fft)
         total = flat.shape[0]
-        total_p = _round_up(total, block_frames)
-        flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-        out = core(flat)
+        # same compile-cliff chunking as the log-mel path (the STFT loss
+        # runs at training batch shapes too)
+        out = _run_chunked(core, flat, total, block_frames, n_freq_p)
         return out[:total, :n_freq].reshape(b, n_frames, n_freq)
 
     return fn

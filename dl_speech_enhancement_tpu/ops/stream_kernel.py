@@ -214,6 +214,24 @@ def make_fused_chunk_step(gen, params, interpret: bool = False):
 
     enc_blocks = gen.encoder.blocks
     dec_blocks = gen.decoder.blocks
+    # this builder hardcodes the AudioDec residual-unit topology (k=7,
+    # dilations 1/3/9) and 6-row input/output conv caches; fail loudly for
+    # anything else instead of returning correctly-shaped wrong audio
+    for blk in list(enc_blocks) + list(dec_blocks):
+        for u in blk.res_units:
+            if u.conv1.kernel_size != k:
+                raise ValueError(
+                    f"fused chunk step supports residual kernel_size {k}, "
+                    f"got {u.conv1.kernel_size}")
+        if tuple(u.conv1.dilation for u in blk.res_units) != dil:
+            raise ValueError(
+                f"fused chunk step supports residual dilations {dil}, got "
+                f"{tuple(u.conv1.dilation for u in blk.res_units)}")
+    if gen.encoder.conv.kernel_size != 7 or gen.decoder.conv2.kernel_size != 7:
+        raise ValueError(
+            "fused chunk step supports kernel_size-7 input/output convs, "
+            f"got {gen.encoder.conv.kernel_size}/"
+            f"{gen.decoder.conv2.kernel_size}")
     enc_p = params["encoder"]
     dec_p = params["decoder"]
 

@@ -153,3 +153,25 @@ def test_codec_flops_per_sample_hand_computed():
     # flagship sanity: ~0.54 MFLOP per 48 kHz sample (0.65 GF per 25 ms)
     flag = codec_flops_per_sample(AudioDecGenerator(use_pqc=False))
     assert 4e5 < flag < 8e5
+
+
+def test_fused_stft_magnitude_chunked_path_matches_small(rng):
+    """The magnitude kernel shares the compile-cliff chunking with the
+    log-mel path (the STFT loss runs at training batch shapes); chunked
+    output must match the single-call path row for row."""
+    from dl_speech_enhancement_tpu.ops import make_fused_stft_magnitude
+
+    n_fft, hop, win = 512, 300, 512
+    fused = make_fused_stft_magnitude(n_fft, hop, win, interpret=True)
+    x = rng.standard_normal((30, 48000)).astype(np.float32) * 0.2
+    assert 30 * (48000 // hop + 1) > 4096  # exercises the chunked branch
+    big = np.asarray(fused(jnp.asarray(x)))
+    small = np.concatenate(
+        [np.asarray(fused(jnp.asarray(x[i : i + 1]))) for i in range(30)])
+    np.testing.assert_array_equal(big, small)
+
+
+def test_fused_log_mel_rejects_unsupported_log_base():
+    with pytest.raises(ValueError, match="log_base"):
+        make_fused_log_mel(48000, 512, 300, None, 80, 0, 24000,
+                           log_base=5.0, interpret=True)
