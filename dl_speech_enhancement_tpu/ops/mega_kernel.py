@@ -108,6 +108,64 @@ def _folded_unit_mats(unit, p, fold):
     return m1, m2, pad_rows
 
 
+def _folded_input_basis(w_in, fold):
+    """Tap basis ``(ctx+1, fold, fold*C0)`` for the folded k=7 input conv:
+    output row o', lane block q' of folded output page p accumulates
+    ``x[fold*o + p - q - extra] @ w_in[j]``. Shared by the single-stream
+    and batched mega kernels (one copy of the index math)."""
+    c0 = w_in.shape[2]
+    ctx_in = _ceil_div(6, fold)
+    extra = ctx_in * fold - 6
+    a = np.zeros((ctx_in + 1, fold, fold * c0), np.float32)
+    for o in range(ctx_in + 1):
+        for p in range(fold):
+            for q in range(fold):
+                j = fold * o + p - q - extra
+                if 0 <= j <= 6:
+                    a[o, p, q * c0 : (q + 1) * c0] = w_in[j, 0]
+    return a, ctx_in
+
+
+def _folded_downsample_basis(wdn, fold, cin_ch):
+    """Basis ``(3, fold*cin, cout)`` for the level-0 folded strided conv
+    (stride == fold, kernel 2*stride): row window o of the folded input
+    contributes ``wdn[fold*o + p - 1]`` at page p."""
+    s = fold
+    cout_ch = wdn.shape[2]
+    b_dn = np.zeros((3, fold * cin_ch, cout_ch), np.float32)
+    for o in range(3):
+        for p in range(fold):
+            j = fold * o + p - 1
+            if 0 <= j < 2 * s:
+                b_dn[o, p * cin_ch : (p + 1) * cin_ch] = wdn[j]
+    return b_dn
+
+
+def _last_upsample_mats(wup, cpad, s):
+    """Folded-emit transposed conv for the LAST decoder block: two
+    ``(cin, s*cout)`` matmuls (current and next input row) emit all s
+    phases of one folded output row."""
+    m0 = np.concatenate([wup[cpad - p] for p in range(s)], axis=1)
+    m1 = np.concatenate([wup[cpad + s - p] for p in range(s)], axis=1)
+    return m0, m1
+
+
+def _folded_output_basis(w_out, fold_d):
+    """Tap basis ``(ctx+1, fold_d*C, fold_d)`` for the folded k=7 output
+    conv (C -> 1 audio sample per folded lane)."""
+    c_last = w_out.shape[1]
+    ctx_out = _ceil_div(6, fold_d)
+    extra = ctx_out * fold_d - 6
+    o_out = np.zeros((ctx_out + 1, fold_d * c_last, fold_d), np.float32)
+    for o in range(ctx_out + 1):
+        for p in range(fold_d):
+            for q in range(fold_d):
+                j = fold_d * o + p - q - extra
+                if 0 <= j <= 6:
+                    o_out[o, p * c_last : (p + 1) * c_last, q] = w_out[j, :, 0]
+    return o_out, ctx_out
+
+
 def _sel_matrix(t_out, stride):
     """(t_out+1, stride*t_out+1) banded 0/1 gather: row i selects s*i."""
     d = np.zeros((t_out + 1, stride * t_out + 1), np.float32)
@@ -186,16 +244,7 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
 
     # input conv (k=7, 1 -> C0), folded output
     w_in = np.asarray(enc.conv.weight(enc_p["conv"]))  # (7, 1, C0)
-    c0 = w_in.shape[2]
-    ctx_in = _ceil_div(6, fold)
-    extra_in = ctx_in * fold - 6
-    a_in = np.zeros((ctx_in + 1, fold, fold * c0), np.float32)
-    for o in range(ctx_in + 1):
-        for p in range(fold):
-            for q in range(fold):
-                j = fold * o + p - q - extra_in
-                if 0 <= j <= 6:
-                    a_in[o, p, q * c0 : (q + 1) * c0] = w_in[j, 0]
+    a_in, ctx_in = _folded_input_basis(w_in, fold)
     econsts.add("in_A", a_in.astype(wd))
     ecache("cin", ctx_in, fold, rows0)
 
@@ -224,13 +273,8 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
             info["chain_ctx"] = chain_ctx
             # folded downsample: cache 2 rows (= 2*fold >= 2s-1 samples)
             assert s == fold
-            b_dn = np.zeros((3, fc, cout_ch), np.float32)
-            for o in range(3):
-                for p in range(fold):
-                    j = fold * o + p - 1
-                    if 0 <= j < 2 * s:
-                        b_dn[o, p * cin_ch : (p + 1) * cin_ch] = wdn[j]
-            econsts.add("e0dB", b_dn.astype(wd))
+            econsts.add("e0dB",
+                        _folded_downsample_basis(wdn, fold, cin_ch).astype(wd))
             econsts.add("e0db", bdn.reshape(1, -1).astype(np.float32))
             ecache("e0d", 2, fc, t_rows)
             t_out = t_rows  # one output per folded row
@@ -428,8 +472,7 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
         if last:
             # folded-emit upsample: 2 matmuls into fold_d * C_out lanes
             fc = fold_d * cout_ch
-            m0 = np.concatenate([wup[cpad - p] for p in range(s)], axis=1)
-            m1 = np.concatenate([wup[cpad + s - p] for p in range(s)], axis=1)
+            m0, m1 = _last_upsample_mats(wup, cpad, s)
             dconsts.add("duM0", m0.astype(wd))
             dconsts.add("duM1", m1.astype(wd))
             dconsts.add("dub", np.tile(bup, fold_d).reshape(1, -1)
@@ -468,15 +511,7 @@ def make_mega_stream(gen, params, chunk: int, weight_dtype=jnp.bfloat16,
     # output conv (k=7, C -> 1), folded
     w_out = np.asarray(dec.conv2.weight(dec_p["conv2"]))  # (7, C, 1)
     c_last = w_out.shape[1]
-    ctx_out = _ceil_div(6, fold_d)
-    extra_out = ctx_out * fold_d - 6
-    o_out = np.zeros((ctx_out + 1, fold_d * c_last, fold_d), np.float32)
-    for o in range(ctx_out + 1):
-        for p in range(fold_d):
-            for q in range(fold_d):
-                j = fold_d * o + p - q - extra_out
-                if 0 <= j <= 6:
-                    o_out[o, p * c_last : (p + 1) * c_last, q] = w_out[j, :, 0]
+    o_out, ctx_out = _folded_output_basis(w_out, fold_d)
     dconsts.add("outO", o_out.astype(wd))
     out_rows = t_rows  # folded rows of the final chain
     dcache("cout", ctx_out, fold_d * c_last, out_rows)
@@ -756,15 +791,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
     # input conv (k=7, 1 -> C0), folded output
     w_in = np.asarray(enc.conv.weight(enc_p["conv"]))  # (7, 1, C0)
     c0 = w_in.shape[2]
-    ctx_in = _ceil_div(6, fold)
-    extra_in = ctx_in * fold - 6
-    a_in = np.zeros((ctx_in + 1, fold, fold * c0), np.float32)
-    for o in range(ctx_in + 1):
-        for p in range(fold):
-            for q in range(fold):
-                j = fold * o + p - q - extra_in
-                if 0 <= j <= 6:
-                    a_in[o, p, q * c0 : (q + 1) * c0] = w_in[j, 0]
+    a_in, ctx_in = _folded_input_basis(w_in, fold)
     econsts.add("in_A", a_in.astype(wd))
     ecache("cin", ctx_in, fold, rows0)
     escratch_extra("_h0", (bsz, rows0, fold * c0))
@@ -792,13 +819,8 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
             ecache("e0ch", chain_ctx, fc, t_rows)
             info["chain_ctx"] = chain_ctx
             assert s == fold
-            b_dn = np.zeros((3, fc, cout_ch), np.float32)
-            for o in range(3):
-                for p in range(fold):
-                    j = fold * o + p - 1
-                    if 0 <= j < 2 * s:
-                        b_dn[o, p * cin_ch : (p + 1) * cin_ch] = wdn[j]
-            econsts.add("e0dB", b_dn.astype(wd))
+            econsts.add("e0dB",
+                        _folded_downsample_basis(wdn, fold, cin_ch).astype(wd))
             econsts.add("e0db", bdn.reshape(1, -1).astype(np.float32))
             ecache("e0d", 2, fc, t_rows)
             t_out = t_rows
@@ -1034,8 +1056,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
         dcache(f"d{bi}u", 1, cin_ch, t_rows)
         if last:
             fc = fold_d * cout_ch
-            m0 = np.concatenate([wup[cpad - p] for p in range(s)], axis=1)
-            m1 = np.concatenate([wup[cpad + s - p] for p in range(s)], axis=1)
+            m0, m1 = _last_upsample_mats(wup, cpad, s)
             dconsts.add("duM0", m0.astype(wd))
             dconsts.add("duM1", m1.astype(wd))
             dconsts.add("dub", np.tile(bup, fold_d).reshape(1, -1)
@@ -1074,15 +1095,7 @@ def make_mega_stream_batched(gen, params, chunk: int, batch: int,
 
     w_out = np.asarray(dec.conv2.weight(dec_p["conv2"]))
     c_last = w_out.shape[1]
-    ctx_out = _ceil_div(6, fold_d)
-    extra_out = ctx_out * fold_d - 6
-    o_out = np.zeros((ctx_out + 1, fold_d * c_last, fold_d), np.float32)
-    for o in range(ctx_out + 1):
-        for p in range(fold_d):
-            for q in range(fold_d):
-                j = fold_d * o + p - q - extra_out
-                if 0 <= j <= 6:
-                    o_out[o, p * c_last : (p + 1) * c_last, q] = w_out[j, :, 0]
+    o_out, ctx_out = _folded_output_basis(w_out, fold_d)
     dconsts.add("outO", o_out.astype(wd))
     out_rows = t_rows
     dcache("cout", ctx_out, fold_d * c_last, out_rows)
