@@ -30,7 +30,9 @@ def main(argv=None):
     from dl_speech_enhancement_tpu.eval.dnsmos import (
         ComputeScore, default_model_paths,
     )
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
 
+    enable_compile_cache()  # DNSMOS programs persist across CLI runs
     primary, p808 = default_model_paths(args.personalized_MOS, args.model_dir)
     compute_score = ComputeScore(primary, p808,
                                  personalized=args.personalized_MOS)

@@ -127,7 +127,18 @@ class ComputeScore:
             seg = audio[int(idx * fs): int((idx + INPUT_LENGTH) * fs)]
             if len(seg) >= len_samples:
                 segs.append(seg[:len_samples])
-        raw = self.score_segments(np.stack(segs))
+        segs = np.stack(segs)
+        n = segs.shape[0]
+        # bucket the batch to the next power of two: score_segments (three
+        # jitted programs) specializes on N, so unbucketed calls recompile
+        # for every distinct clip length when scoring a directory; the pad
+        # rows repeat the last segment and are dropped before the means
+        bucket = 1 << (n - 1).bit_length()
+        if bucket != n:
+            segs = np.concatenate(
+                [segs, np.repeat(segs[-1:], bucket - n, axis=0)])
+        raw = self.score_segments(segs)
+        raw = {k: v[:n] for k, v in raw.items()}
         poly = _POLY[bool(is_personalized_MOS)]
         sig = _polyval(poly["sig"], raw["sig_raw"])
         bak = _polyval(poly["bak"], raw["bak_raw"])

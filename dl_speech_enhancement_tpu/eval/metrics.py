@@ -40,9 +40,9 @@ __all__ = [
 # ---------------------------------------------------------------- STOI
 
 _STOI_FS = 10000
-_STOI_NFFT = 512
-_STOI_HOP = 256  # 50% overlap of 512-sample (25.6 ms) frames
-_STOI_WIN = 512
+_STOI_NFFT = 512  # frames zero-padded to a 512-point FFT
+_STOI_HOP = 128   # 50% overlap of 256-sample (25.6 ms) frames
+_STOI_WIN = 256
 _STOI_N_BANDS = 15
 _STOI_MIN_FREQ = 150.0
 _STOI_SEG = 30  # frames per 384 ms segment
@@ -66,8 +66,9 @@ def _third_octave_bands(fs=_STOI_FS, nfft=_STOI_NFFT, n_bands=_STOI_N_BANDS,
 
 
 def _stft_frames(x, win, hop, nfft):
-    n = (len(x) - nfft) // hop + 1
-    idx = np.arange(n)[:, None] * hop + np.arange(nfft)[None, :]
+    flen = len(win)  # frame length; rfft zero-pads to nfft
+    n = (len(x) - flen) // hop + 1
+    idx = np.arange(n)[:, None] * hop + np.arange(flen)[None, :]
     return np.fft.rfft(x[idx] * win, n=nfft, axis=-1)
 
 
@@ -88,6 +89,16 @@ def _remove_silent_frames(x, y, dyn_range=_STOI_DYN_RANGE, framelen=256, hop=128
             count += 1
     t = count * hop + framelen - hop
     return x_out[:t], y_out[:t]
+
+
+def _norm_rows(a):
+    a = a - a.mean(1, keepdims=True)
+    return a / (np.linalg.norm(a, axis=1, keepdims=True) + 1e-12)
+
+
+def _norm_cols(a):
+    a = a - a.mean(0, keepdims=True)
+    return a / (np.linalg.norm(a, axis=0, keepdims=True) + 1e-12)
 
 
 def stoi(clean: np.ndarray, processed: np.ndarray, fs: int,
@@ -116,11 +127,13 @@ def stoi(clean: np.ndarray, processed: np.ndarray, fs: int,
         Xs = Xb[:, m - _STOI_SEG : m]
         Ys = Yb[:, m - _STOI_SEG : m]
         if extended:
-            Xn = (Xs - Xs.mean(1, keepdims=True))
-            Xn /= (np.linalg.norm(Xn, axis=1, keepdims=True) + 1e-12)
-            Yn = (Ys - Ys.mean(1, keepdims=True))
-            Yn /= (np.linalg.norm(Yn, axis=1, keepdims=True) + 1e-12)
-            scores.append(np.sum(Xn * Yn) / Xn.shape[0])
+            # ESTOI (Jensen & Taal 2016): row-normalize each band over the
+            # segment's frames, THEN column-normalize each frame over
+            # bands; the segment distortion is the mean over the N frames
+            # of the normalized-column inner products.
+            Xn = _norm_cols(_norm_rows(Xs))
+            Yn = _norm_cols(_norm_rows(Ys))
+            scores.append(np.sum(Xn * Yn) / Xn.shape[1])
         else:
             alpha = np.linalg.norm(Xs, axis=1, keepdims=True) / (
                 np.linalg.norm(Ys, axis=1, keepdims=True) + 1e-12

@@ -119,7 +119,10 @@ def parse_tensor(buf) -> Tensor:
     elif int64_data:
         t.data = np.asarray([_signed(v) for v in int64_data], np.int64).reshape(t.dims)
     elif int32_data:
-        t.data = np.asarray(int32_data, np_dtype).reshape(t.dims)
+        # int32/int16/int8 varints carry negatives as 64-bit two's
+        # complement — sign-decode before narrowing or np overflows
+        t.data = (np.asarray([_signed(v) for v in int32_data], np.int64)
+                  .astype(np_dtype).reshape(t.dims))
     elif double_data:
         t.data = np.asarray(double_data, np.float64).reshape(t.dims)
     else:
@@ -130,6 +133,7 @@ def parse_tensor(buf) -> Tensor:
 @dataclass
 class Attribute:
     name: str = ""
+    type: int = 0  # AttributeProto.AttributeType (field 20)
     f: float | None = None
     i: int | None = None
     s: bytes | None = None
@@ -146,7 +150,12 @@ class Attribute:
             return self.ints
         if self.floats:
             return self.floats
-        return None
+        # proto3 omits zero-valued scalar fields from the wire, so an
+        # attribute that IS present but holds the default (axis=0,
+        # ceil_mode=0, alpha=0.0, an empty ints list) arrives with only
+        # name+type set — synthesize the typed zero instead of returning
+        # None (which callers would treat as "attribute absent").
+        return {1: 0.0, 2: 0, 3: b"", 6: [], 7: []}.get(self.type)
 
 
 def parse_attribute(buf) -> Attribute:
@@ -172,6 +181,8 @@ def parse_attribute(buf) -> Attribute:
                 a.ints.extend(_signed(v) for v in _packed_varints(val))
             else:
                 a.ints.append(_signed(val))
+        elif fno == 20:
+            a.type = val
     return a
 
 

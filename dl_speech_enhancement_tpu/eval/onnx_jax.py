@@ -25,6 +25,27 @@ def _attr(node, name, default=None):
     return default if a is None else a.value
 
 
+def _opt_input(env, node, i):
+    """Optional input i, or None — ONNX encodes omitted optionals either by
+    truncating the input list or with an empty-string placeholder."""
+    if len(node.inputs) > i and node.inputs[i]:
+        return env[node.inputs[i]]
+    return None
+
+
+def _axes_of(env, node):
+    """Reduce/Squeeze axes: attribute form (opset < 13/18), input form
+    (opset >= 13/18), or None = all axes (the ONNX default)."""
+    axes = _attr(node, "axes")
+    if axes is None:
+        inp = _opt_input(env, node, 1)
+        if inp is not None:
+            axes = np.asarray(inp).tolist()
+    if axes is None or axes == []:
+        return None
+    return tuple(int(a) for a in axes)
+
+
 def _conv(env, node):
     x = env[node.inputs[0]]
     w = env[node.inputs[1]]
@@ -165,6 +186,13 @@ def run_graph(graph: Graph, feeds: dict) -> list:
         env[name] = jnp.asarray(data) if data.dtype != np.int64 else data
     env.update({k: jnp.asarray(v) for k, v in feeds.items()})
 
+    # only the primary output of each node is computed; fail at the
+    # PRODUCING node (a clear error) if a secondary output (Dropout mask,
+    # Split parts, MaxPool indices) is actually consumed downstream
+    consumed = set(graph.outputs)
+    for node in graph.nodes:
+        consumed.update(node.inputs)
+
     for node in graph.nodes:
         op = node.op_type
         if op in _ELEMENTWISE:
@@ -200,18 +228,14 @@ def run_graph(graph: Graph, feeds: dict) -> list:
             for a in sorted(int(a) for a in axes):
                 out = jnp.expand_dims(out, a)
         elif op == "Squeeze":
-            axes = _attr(node, "axes")
-            out = jnp.squeeze(env[node.inputs[0]],
-                              axis=tuple(int(a) for a in axes) if axes else None)
+            out = jnp.squeeze(env[node.inputs[0]], axis=_axes_of(env, node))
         elif op == "Slice":
             out = _slice(env, node)
         elif op == "ReduceMax":
-            axes = tuple(int(a) for a in _attr(node, "axes"))
-            out = jnp.max(env[node.inputs[0]], axis=axes,
+            out = jnp.max(env[node.inputs[0]], axis=_axes_of(env, node),
                           keepdims=bool(_attr(node, "keepdims", 1)))
         elif op == "ReduceMean":
-            axes = tuple(int(a) for a in _attr(node, "axes"))
-            out = jnp.mean(env[node.inputs[0]], axis=axes,
+            out = jnp.mean(env[node.inputs[0]], axis=_axes_of(env, node),
                            keepdims=bool(_attr(node, "keepdims", 1)))
         elif op == "Gemm":
             a, b = env[node.inputs[0]], env[node.inputs[1]]
@@ -226,9 +250,11 @@ def run_graph(graph: Graph, feeds: dict) -> list:
             out = jax.nn.softmax(env[node.inputs[0]],
                                  axis=int(_attr(node, "axis", -1)))
         elif op == "Clip":
-            lo = env[node.inputs[1]] if len(node.inputs) > 1 else -jnp.inf
-            hi = env[node.inputs[2]] if len(node.inputs) > 2 else jnp.inf
-            out = jnp.clip(env[node.inputs[0]], lo, hi)
+            lo = _opt_input(env, node, 1)
+            hi = _opt_input(env, node, 2)
+            out = jnp.clip(env[node.inputs[0]],
+                           -jnp.inf if lo is None else lo,
+                           jnp.inf if hi is None else hi)
         elif op == "Dropout":
             out = env[node.inputs[0]]
         elif op == "Cast":
@@ -248,6 +274,11 @@ def run_graph(graph: Graph, feeds: dict) -> list:
                               else _attr(node, "value"))
         else:
             raise NotImplementedError(f"ONNX op: {op}")
+        for extra in node.outputs[1:]:
+            if extra and extra in consumed:
+                raise NotImplementedError(
+                    f"{op} secondary output '{extra}' is consumed by the "
+                    f"graph — only primary outputs are computed")
         env[node.outputs[0]] = out
     return [env[o] for o in graph.outputs]
 

@@ -450,7 +450,12 @@ class AudioCodecStreamer(AudioCodec):
                 self.output_queue.put((y, t_in))
                 continue
             idx = self._encode(frame)
-            jax.block_until_ready(idx)
+            # value fetch, not block_until_ready: the latter is NOT a
+            # reliable fence on the tunneled backend (CLAUDE.md), which
+            # would credit encoder work to the decoder's later fetch. The
+            # fetched values are also the real tx->rx wire format (the
+            # reference sends indices between threads, audiodec.py:96-103).
+            idx = np.asarray(idx)
             self.enc_times.append(time.perf_counter() - t0)
             self.decoder_queue.put((idx, t_in))
 
@@ -461,10 +466,9 @@ class AudioCodecStreamer(AudioCodec):
             except queue.Empty:
                 continue
             t0 = time.perf_counter()
-            y = self._decode(idx)
-            jax.block_until_ready(y)
+            y = np.asarray(self._decode(idx))  # fetch = fence (CLAUDE.md)
             self.dec_times.append(time.perf_counter() - t0)
-            self.output_queue.put((np.asarray(y), t_in))
+            self.output_queue.put((y, t_in))
 
     # ---------------- frame processing (bin/stream.py:242-282) --------------
 

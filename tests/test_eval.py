@@ -116,8 +116,32 @@ def test_analyze_cli_metric_battery(tmp_path, rng):
     sr = 48000
     from dl_speech_enhancement_tpu.data import load_audio
     clean = load_audio("/root/reference/notebook_files/clean1.wav", sr)[:sr, 0]
-    noisy = clean + 0.005 * rng.standard_normal(sr).astype(np.float32)
+    # ~26 dB SNR relative to the clip's measured RMS (the clip peaks low);
+    # published STOI sits near 1 there and drops through ~0.6 at 0-5 dB
+    rms = float(np.sqrt(np.mean(clean**2)))
+    noisy = clean + 0.05 * rms * rng.standard_normal(sr).astype(np.float32)
     m = metric_battery(noisy, clean, sr)
     for key in ("STOI", "ESTOI", "SI-SDR", "SDR", "SNR", "Mel-L1"):
         assert np.isfinite(m[key]), m
-    assert m["STOI"] > 0.8
+    assert m["STOI"] > 0.9
+    assert m["ESTOI"] > 0.8
+
+
+def test_estoi_behavior(rng):
+    """ESTOI (extended=True): 1.0 on identical signals, monotone
+    degradation with noise — pins the double (row-then-column)
+    normalization estimator."""
+    sr = 10000
+    t = np.arange(sr * 2) / sr
+    clean = (np.sin(2 * np.pi * 220 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float64)
+    from dl_speech_enhancement_tpu.eval import stoi
+
+    same = stoi(clean, clean, sr, extended=True)
+    assert same > 0.99
+    mid = stoi(clean, clean + 0.5 * rng.standard_normal(len(clean)), sr,
+               extended=True)
+    bad = stoi(clean, clean + 2.0 * rng.standard_normal(len(clean)), sr,
+               extended=True)
+    assert bad < mid < same
+    assert mid < 0.95
