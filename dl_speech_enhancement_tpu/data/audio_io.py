@@ -53,7 +53,11 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
                 raw = f.read(size)
             else:
                 f.seek(size + (size & 1), 1)
-            if size & 1 and cid == b"data":
+                continue
+            # RIFF pads every odd-sized chunk to even — skip the pad after
+            # ANY inline-read chunk (fmt included), or the next chunk
+            # header parses one byte off
+            if size & 1:
                 f.seek(1, 1)
         if raw is None or fmt_tag is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
@@ -90,6 +94,12 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int, subtype: str = "PC
     a = np.asarray(audio, np.float32)
     if a.ndim == 1:
         a = a[:, None]
+    from dl_speech_enhancement_tpu.data import native
+
+    # native C++ encoder when built (bit-identical file: same PCM16
+    # layout, same round-half-to-even), stdlib wave otherwise
+    if native.write_wav(path, a, sample_rate):
+        return
     pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype("<i2")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with wave.open(path, "wb") as f:

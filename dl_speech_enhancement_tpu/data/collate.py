@@ -37,7 +37,7 @@ class CollaterAudio:
                 return out
         return np.stack(
             [x[s : s + self.batch_length] for x, s in zip(xs, starts)]
-        ).astype(np.float32)  # (B, T, C)
+        ).astype(np.float32, copy=False)  # (B, T, C)
 
 
 class CollaterAudioPair(CollaterAudio):

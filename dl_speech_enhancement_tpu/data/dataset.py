@@ -27,7 +27,6 @@ def load_files(data_path: str, query: str = "*.wav", num_core: int = 1):
     files = sorted(find_files(data_path, query))
     if num_core <= 1:
         return files
-    import numpy as np
     return [list(chunk) for chunk in np.array_split(files, num_core) if len(chunk)]
 
 
@@ -151,7 +150,10 @@ def random_split(dataset, fractions, seed: int):
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
     sizes = [int(np.floor(f * n)) for f in fractions]
-    sizes[-1] = n - sum(sizes[:-1])
+    # torch.random_split semantics: round-robin the rounding remainder
+    # over the splits starting from the FIRST (not all to the last)
+    for i in range(n - sum(sizes)):
+        sizes[i % len(sizes)] += 1
     out, ofs = [], 0
     for s in sizes:
         out.append(Subset(dataset, perm[ofs : ofs + s]))

@@ -66,12 +66,17 @@ class DataLoader:
             return False
 
         def worker():
+            # a dataset/collate exception must reach the CONSUMER — a bare
+            # sentinel would make the training loop read it as a normal
+            # (truncated) end of epoch and silently train on partial data
             try:
                 for batch in self._batches():
                     if not _put(batch):
                         return
-            finally:
-                _put(_SENTINEL)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                _put(e)
+                return
+            _put(_SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -80,6 +85,8 @@ class DataLoader:
                 item = q.get()
                 if item is _SENTINEL:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             # runs on exhaustion AND on generator close/GC (abandoned zip)

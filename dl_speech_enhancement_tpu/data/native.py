@@ -11,11 +11,13 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_LOCK = threading.Lock()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -27,7 +29,19 @@ def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOCK:
+        # serialized: two prefetch threads racing here could otherwise run
+        # the g++ build concurrently (corrupting the .so) or one could see
+        # _TRIED=True mid-build and silently fall back to the slow path
+        if _TRIED:
+            return _LIB
+        lib = _load_locked()
+        _LIB = lib
+        _TRIED = True
+        return _LIB
+
+
+def _load_locked():
     if not os.path.exists(_SO_PATH) and os.path.exists(_BUILD_SCRIPT):
         try:
             subprocess.run(["sh", _BUILD_SCRIPT], capture_output=True,
@@ -58,8 +72,7 @@ def _load():
         ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float),
     ]
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def available() -> bool:
@@ -109,6 +122,8 @@ def crop_batch(clips: list[np.ndarray], starts: np.ndarray, crop_len: int):
     lib = _load()
     if lib is None:
         return None
+    if any(c.ndim != 2 for c in clips):
+        return None  # caller falls back (pure-Python path handles 1-D)
     b = len(clips)
     ch = clips[0].shape[1]
     clips = [np.ascontiguousarray(c, np.float32) for c in clips]

@@ -8,6 +8,7 @@
 //
 // Build: tools/build_native.sh  (g++ -O3 -shared -fPIC)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -58,6 +59,10 @@ int dlse_read_wav(const char *path, float **out_data, int64_t *out_frames,
   }
   fclose(f);
   if (!have_fmt || !have_data || channels == 0) return -4;
+  // validate BEFORE the frames division: sub-byte formats (e.g. 4-bit
+  // ADPCM) give bytes == 0 and the division would SIGFPE the process
+  // instead of reaching the unsupported-format return below
+  if (bits < 8 || bits % 8 != 0) return -6;
 
   const int bytes = bits / 8;
   const int64_t frames = (int64_t)data.size() / (bytes * channels);
@@ -124,7 +129,9 @@ int dlse_write_wav(const char *path, const float *data, int64_t frames,
   for (int64_t i = 0; i < n; ++i) {
     float v = data[i] * 32768.0f;
     v = v > 32767.0f ? 32767.0f : (v < -32768.0f ? -32768.0f : v);
-    pcm[(size_t)i] = (int16_t)(v >= 0 ? v + 0.5f : v - 0.5f);
+    // round-half-to-even (IEEE default), bit-identical to np.round so the
+    // native and pure-Python writers produce the same file
+    pcm[(size_t)i] = (int16_t)nearbyintf(v);
   }
   fwrite(pcm.data(), 2, (size_t)n, f);
   fclose(f);

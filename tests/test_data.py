@@ -198,3 +198,90 @@ def test_dataloader_end_to_end(tmp_path):
     assert len(batches) == 2
     for b in batches:
         assert b.shape == (2, 1600, 1)
+
+
+def test_random_split_matches_torch_remainder_distribution():
+    """torch.random_split round-robins the rounding remainder starting at
+    the FIRST split; n=10 @ [0.7, 0.15, 0.15] must give 8/1/1, not 7/1/2."""
+    from dl_speech_enhancement_tpu.data.dataset import random_split
+
+    subsets = random_split(list(range(10)), [0.7, 0.15, 0.15], seed=0)
+    assert [len(s) for s in subsets] == [8, 1, 1]
+    # all indices used exactly once
+    seen = sorted(i for s in subsets for i in s.indices)
+    assert seen == list(range(10))
+
+
+def test_prefetch_worker_exception_propagates():
+    """A dataset error inside the prefetch thread must re-raise in the
+    consumer, not masquerade as a truncated epoch."""
+    from dl_speech_enhancement_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("corrupt clip")
+            return np.zeros((100, 1), np.float32)
+
+    dl = DataLoader(Bad(), 2, lambda items: np.stack(items), shuffle=False,
+                    prefetch=2)
+    with pytest.raises(ValueError, match="corrupt clip"):
+        list(dl)
+
+
+def test_wav_odd_fmt_chunk_pad(tmp_path):
+    """RIFF pads odd-sized chunks; the pad byte after a non-data chunk must
+    be skipped or every later chunk header parses one byte off."""
+    from dl_speech_enhancement_tpu.data.audio_io import read_wav
+    from dl_speech_enhancement_tpu.data import native as nat
+
+    pcm = (np.arange(10, dtype=np.int16) * 100).tobytes()
+    # fmt chunk artificially 17 bytes (odd) + 1 pad byte
+    fmt = (np.int16(1).tobytes() + np.int16(1).tobytes()
+           + np.int32(8000).tobytes() + np.int32(16000).tobytes()
+           + np.int16(2).tobytes() + np.int16(16).tobytes() + b"\x00")
+    body = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt + b"\x00"
+            + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    blob = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    p = tmp_path / "odd_fmt.wav"
+    p.write_bytes(blob)
+    nat.available()  # ensure _TRIED is set before disabling
+    lib = nat._LIB
+    try:
+        nat._LIB = None  # force the pure-Python RIFF parser
+        x, sr = read_wav(str(p))
+    finally:
+        nat._LIB = lib
+    assert sr == 8000 and x.shape == (10, 1)
+    np.testing.assert_allclose(x[:, 0], np.arange(10) * 100 / 32768.0,
+                               atol=1e-7)
+
+
+def test_native_write_wav_bit_identical(tmp_path):
+    """The native C++ PCM16 encoder and the stdlib-wave fallback must
+    produce byte-identical files (same layout, same half-to-even
+    rounding)."""
+    from dl_speech_enhancement_tpu.data import native
+    from dl_speech_enhancement_tpu.data.audio_io import write_wav
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(4096).astype(np.float32) * 0.3)
+    # include exact-tie values that distinguish rounding modes
+    x[:4] = np.asarray([0.5, 1.5, -0.5, 2.5], np.float32) / 32768.0
+    p_native = tmp_path / "n.wav"
+    p_python = tmp_path / "p.wav"
+    assert native.write_wav(str(p_native), x, 16000)
+    # force the pure-Python path
+    import dl_speech_enhancement_tpu.data.native as nat
+    lib = nat._LIB
+    try:
+        nat._LIB = None
+        write_wav(str(p_python), x, 16000)
+    finally:
+        nat._LIB = lib
+    assert p_native.read_bytes() == p_python.read_bytes()
