@@ -87,6 +87,9 @@ def eval_wavs(clean_path: str, wav_paths: list, sr: int | None = None,
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--without-pqc", action="store_true")

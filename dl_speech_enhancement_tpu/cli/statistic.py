@@ -17,6 +17,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--subset", default="train")

@@ -24,6 +24,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("--model", default=None,
                         help="named preset (utils.audiodec.assign_model)")

@@ -58,22 +58,39 @@ def run_codec_test(encoder_ckpt: str, input_path: str, output_dir: str,
         t = (audio.shape[0] // gen.hop) * gen.hop
         if t == 0:
             continue
-        x = jnp.asarray(audio[None, :t, :1])
+        # pad to a power-of-two count of hop frames: the jitted forward
+        # would otherwise recompile for nearly every distinct clip length
+        # (~100 s each through the remote compile service), and the
+        # compile would land inside the timed region. RTF is reported
+        # against the TRUE length, so padded compute makes the number
+        # conservative (at most ~2x the exact-length work).
+        frames = t // gen.hop
+        t_pad = (1 << (frames - 1).bit_length()) * gen.hop
+        x = np.zeros((1, t_pad, 1), np.float32)
+        x[0, :t, 0] = audio[:t, 0]
+        x = jnp.asarray(x)
+        y = forward(x)  # warm the compile cache outside the timed region
+        float(jnp.sum(y))
         t0 = time.time()
         y = forward(x)
-        y.block_until_ready()
+        # value fetch = the timing fence (block_until_ready is not a
+        # reliable fence on the tunneled backend — CLAUDE.md)
+        y = np.asarray(y)
         wall = time.time() - t0
         rtf = wall / (t / sr)
         rtfs.append(rtf)
         logger.info("%s: RTF = %.4f", utt_id, rtf)
         write_wav(os.path.join(output_dir, f"{utt_id}_output.wav"),
-                  np.asarray(y[0, :, 0]), sr)
+                  y[0, :t, 0], sr)
     mean_rtf = float(np.mean(rtfs)) if rtfs else float("nan")
     logger.info("Mean RTF = %.4f (N=%d)", mean_rtf, len(rtfs))
     return mean_rtf
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("--encoder", required=True,
                         help="analyzer checkpoint directory")

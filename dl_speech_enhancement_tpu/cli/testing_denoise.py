@@ -108,6 +108,9 @@ def infer_split(models: dict, clean_loader, noise_loader, out_dir: str,
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("-e", "--environment", default="LAPTOP")
     parser.add_argument("-c", "--config", default="symAD_custom.yaml")

@@ -128,11 +128,16 @@ def build_trainer(config: dict, data_loader):
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--tag", default=None)
     parser.add_argument("--exp-root", default="exp")
-    parser.add_argument("--resume", default="", nargs="?")
+    parser.add_argument("--resume", default="", nargs="?", const="auto",
+                        help="checkpoint to resume from; bare --resume "
+                        "resumes from the newest checkpoint in the expdir")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--dp", type=int, default=None, metavar="N",
                         help="data-parallel devices (-1 = all visible); "
@@ -163,9 +168,21 @@ def main(argv=None):
     data_loader = build_data_loaders(config, mode, config["batch_length"])
     trainer = build_trainer(config, data_loader)
 
-    if args.resume:
-        trainer.load_checkpoint(args.resume)
-        logger.info("resumed from %s (steps=%d)", args.resume, trainer.steps)
+    resume = args.resume
+    if resume == "auto":
+        # bare --resume: resolve the newest checkpoint in the expdir (a
+        # silent fresh start here would overwrite the previous run)
+        from dl_speech_enhancement_tpu.train.checkpoint import (
+            latest_checkpoint,
+        )
+
+        resume = latest_checkpoint(outdir)
+        if resume is None:
+            raise SystemExit(
+                f"--resume given but no checkpoint found under {outdir}")
+    if resume:
+        trainer.load_checkpoint(resume)
+        logger.info("resumed from %s (steps=%d)", resume, trainer.steps)
 
     try:
         trainer.run()

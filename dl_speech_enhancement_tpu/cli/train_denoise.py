@@ -22,6 +22,9 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # persist jitted programs across CLI runs
     parser = ArgumentParser()
     parser.add_argument("-e", "--environment", default="LAPTOP")
     parser.add_argument("-c", "--config", default="symAD_custom.yaml")
@@ -96,7 +99,11 @@ def main(argv=None):
                 ckpt, like={"params_generator": params_like}
             )["params_generator"]
             logger.info("warm-started from %s", ckpt)
-        except Exception:
+        except Exception as e:
+            # keep the reference's message (train_denoise.py:116, typo and
+            # all) but never hide WHY a named warm-start failed — a silent
+            # random-init on a long run is the worst failure mode here
+            logger.warning("warm-start from %s failed: %r", ckpt, e)
             print("No inital model")
 
     try:

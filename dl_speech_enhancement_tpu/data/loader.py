@@ -93,18 +93,21 @@ class DataLoader:
             stop.set()
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Overlap host->device batch upload with device compute: device_put the
     next ``size`` batches ahead while the current step runs. Significant when
     the link to the chip is slow (tunneled chips here: ~40 ms per 3 MB
-    batch); a no-op-cost wrapper otherwise."""
+    batch); a no-op-cost wrapper otherwise. Pass ``sharding`` (e.g. the DP
+    mesh's batch sharding) to upload straight to the mesh layout — never
+    via the default device."""
     import collections
     import jax
 
     queue_: collections.deque = collections.deque()
 
     def _put(batch):
-        return jax.tree_util.tree_map(jax.device_put, batch)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
 
     it = iter(iterator)
     try:

@@ -217,8 +217,15 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
                     state["params_discriminator"], d_updates
                 )
                 new_state["opt_discriminator"] = new_opt_d
-            # gradient statistics (train_denoise.py:189-210)
+            # gradient statistics (train_denoise.py:189-210): the reference
+            # reads .grad AFTER clip_grad_norm_, so report post-clip values
+            # whenever clipping is configured (torch's clip factor)
             flat = jax.tree_util.tree_leaves(grads)
+            clip = float(config.get("generator_grad_norm", -1))
+            if clip > 0:
+                gnorm = optax.global_norm(grads)
+                factor = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+                flat = [g * factor for g in flat]
             gmax = jnp.max(jnp.asarray([jnp.max(g) for g in flat]))
             gmin = jnp.min(jnp.asarray([jnp.min(g) for g in flat]))
             gsum = sum(jnp.sum(jnp.abs(g)) for g in flat)

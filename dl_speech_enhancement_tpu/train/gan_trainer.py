@@ -105,9 +105,17 @@ class TrainerGAN:
     def _train_epoch(self):
         from dl_speech_enhancement_tpu.data.loader import prefetch_to_device
 
+        sharding = None
+        if self.mesh is not None:
+            # prefetch straight to the mesh batch sharding — a default-
+            # device device_put here would upload the whole batch to one
+            # chip and reshard it device-to-device every step
+            from dl_speech_enhancement_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
         train_steps_per_epoch = 0
         for train_steps_per_epoch, batch in enumerate(
-            prefetch_to_device(self.data_loader["train"]), 1
+            prefetch_to_device(self.data_loader["train"], sharding=sharding), 1
         ):
             self._train_step(batch)
             self._check_log_interval()

@@ -4,7 +4,10 @@ Maps the reference's torch optimizer+scheduler config keys
 (config/*/:`generator_optimizer_type: Adam`, `generator_scheduler_type:
 StepLR|MultiStepLR`, `*_grad_norm`) onto optax chains:
 
-    clip_by_global_norm (if grad_norm > 0) -> adam(lr=schedule)
+    clip_by_global_norm (if grad_norm > 0)
+        -> add_decayed_weights (if weight_decay > 0; torch Adam's COUPLED
+           L2, golden-tested against torch — not adamw's decoupled form)
+        -> adam(lr=schedule)
 
 Freezing (torch ``requires_grad=False``, trainer/autoencoder.py:66-75,
 trainer/denoise.py:43-49) is functional: updates are applied, then frozen
@@ -54,13 +57,15 @@ def build_optimizer(optimizer_type: str, optimizer_params: dict,
     betas = optimizer_params.get("betas", (0.9, 0.999))
     wd = float(optimizer_params.get("weight_decay", 0.0))
     schedule = build_schedule(lr, scheduler_type, scheduler_params)
-    if wd > 0.0:
-        opt = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
-    else:
-        opt = optax.adam(schedule, b1=betas[0], b2=betas[1])
-    chain = [opt]
+    chain = []
     if grad_norm and grad_norm > 0:
-        chain.insert(0, optax.clip_by_global_norm(float(grad_norm)))
+        chain.append(optax.clip_by_global_norm(float(grad_norm)))
+    if wd > 0.0:
+        # torch Adam's weight_decay is COUPLED L2 (wd*theta added to the
+        # gradient BEFORE the moment update, after clipping) — NOT adamw's
+        # decoupled decay. add_decayed_weights before adam reproduces it.
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(optax.adam(schedule, b1=betas[0], b2=betas[1]))
     return optax.chain(*chain)
 
 

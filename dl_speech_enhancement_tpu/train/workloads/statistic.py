@@ -41,11 +41,19 @@ def compute_statistics(analyzer, analyzer_params, vq_state, dataset,
             if t == 0:
                 continue
             x = x[:t]
-        # pad time to the analyzer hop
         t = (x.shape[0] // analyzer.hop) * analyzer.hop
         if t == 0:
             continue
-        zq = np.asarray(encode(jnp.asarray(x[None, :t])))  # (1, frames, D)
+        # bucket the clip length to a power-of-two frame count: the jitted
+        # encode would otherwise recompile for nearly every distinct clip
+        # length. The encoder is causal, so right zero-padding leaves the
+        # first ``frames_true`` codes exact — padded frames are sliced off
+        # before accumulation (they never touch the statistics).
+        frames_true = t // analyzer.hop
+        t_pad = (1 << (frames_true - 1).bit_length()) * analyzer.hop
+        xp = np.zeros((1, t_pad, x.shape[1]), np.float32)
+        xp[0, :t] = x[:t]
+        zq = np.asarray(encode(jnp.asarray(xp)))[:, :frames_true]
         zq = zq.reshape(-1, zq.shape[-1]).astype(np.float64)
         if total is None:
             total = zq.sum(axis=0)

@@ -495,3 +495,28 @@ def test_discriminator_remat_step_matches_plain(rng):
                     jax.tree_util.tree_leaves(s1["params_discriminator"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_adam_weight_decay_matches_torch_coupled_l2(rng):
+    """Reference configs feed weight_decay to torch.optim.Adam, whose decay
+    is COUPLED L2 (added to the grad before the moment update) — not
+    adamw's decoupled form. Golden vs torch over 5 steps."""
+    import torch
+    import optax
+
+    w0 = rng.standard_normal(16).astype(np.float32)
+    opt = build_optimizer(
+        "Adam", {"lr": 1e-2, "betas": [0.9, 0.999], "weight_decay": 0.1})
+    p = jnp.asarray(w0)
+    state = opt.init(p)
+    tp = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tp], lr=1e-2, betas=(0.9, 0.999),
+                            weight_decay=0.1)
+    for i in range(5):
+        g = np.sin(np.arange(16, dtype=np.float32) + i)
+        upd, state = opt.update(jnp.asarray(g), state, p)
+        p = optax.apply_updates(p, upd)
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(p), tp.detach().numpy(), atol=2e-6)
