@@ -139,16 +139,36 @@ class VocoderReceiver:
     utils/audiodec.py:96-103 + models/vocoder/HiFiGAN.py:268-296)."""
 
     def __init__(self, codec_gen, vocoder, vocoder_params, vq_state,
-                 batch: int = 1, device=None):
+                 batch: int = 1, device=None, backend: str = "xla",
+                 weight_dtype=None, seg_budget_bytes: int = 9_000_000,
+                 interpret: bool = False):
+        """``backend='pallas'`` (or 'auto' -> pallas on TPU) runs decode
+        through the fused segment pipeline (ops/vocoder_kernel.py) with the
+        codebook lookup in-kernel — single stream on the default device
+        only; other cases (and topologies the kernel can't assemble) use
+        the jitted XLA step.  The fused caches are chunk-size-agnostic
+        ``(ctx, lanes)`` tails, so the long priming call and the
+        steady-state frames compile separately but share one cache."""
         self.codec_gen = codec_gen
         self.vocoder = vocoder
         self.device = device
         self.params = jax.device_put(vocoder_params, device)
         self.batch = batch
         self.use_pqc = codec_gen.use_pqc
-        self.flat_cb = (jax.device_put(
-            codec_gen.flat_codebook(jax.device_put(vq_state)), device)
-            if self.use_pqc else None)
+        vq_state = jax.device_put(vq_state) if self.use_pqc else None
+        self._vq_embed = vq_state.embed if self.use_pqc else None
+        self.flat_cb = (jax.device_put(codec_gen.flat_codebook(vq_state),
+                                       device)
+                        if self.use_pqc else None)
+        if backend == "auto":
+            backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                       else "xla")
+        self._fused_ok = backend == "pallas" and batch == 1 and device is None
+        self._fused_runs = {}  # T_codes -> jitted run
+        self._fused_init = None
+        self._weight_dtype = weight_dtype
+        self._seg_budget = seg_budget_bytes
+        self._interpret = interpret
 
         def _step(params, flat_cb, cache, idx):
             zq = codec_gen.lookup(flat_cb, idx) if self.use_pqc else idx
@@ -160,13 +180,45 @@ class VocoderReceiver:
     def reset_buffer(self):
         self.cache = jax.device_put(self.vocoder.init_cache(self.batch),
                                     self.device)
+        if self._fused_init is not None:
+            self._fused_cache = self._fused_init()
 
     def initial_decoder(self, idx):
         return self.decode(idx)
 
+    def _get_fused(self, t_codes: int):
+        run = self._fused_runs.get(t_codes)
+        if run is None:
+            from dl_speech_enhancement_tpu.ops.vocoder_kernel import (
+                make_mega_vocoder,
+            )
+            kw = ({} if self._weight_dtype is None
+                  else {"weight_dtype": self._weight_dtype})
+            init, run = make_mega_vocoder(
+                self.vocoder, self.params,
+                chunk=t_codes * self.vocoder.total_upsample,
+                vq_embed=self._vq_embed, interpret=self._interpret,
+                seg_budget_bytes=self._seg_budget, **kw)
+            run = jax.jit(run)
+            if self._fused_init is None:
+                self._fused_init = init
+                self._fused_cache = init()
+            self._fused_runs[t_codes] = run
+        return run
+
     def decode(self, idx) -> jax.Array:
         if self.device is not None:
             idx = jax.device_put(idx, self.device)  # tx -> rx device transfer
+        if self._fused_ok:
+            # wire idx (L, 1, T) -> (1, T, L); raw features stay (1, T, D)
+            arr = jnp.transpose(idx, (1, 2, 0)) if self.use_pqc else idx
+            try:
+                run = self._get_fused(arr.shape[1])
+            except AssertionError:  # topology the kernel doesn't cover
+                self._fused_ok = False
+            else:
+                y, self._fused_cache = run(self._fused_cache, arr)
+                return y[:, :, None]
         y, new_cache = self._step(self.params, self.flat_cb, self.cache, idx)
         self.cache = new_cache
         return y
@@ -278,6 +330,105 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
 
     def init_cache():
         return gen.init_cache(batch)
+
+    run.init_cache = init_cache
+    return run
+
+
+def make_vocoder_scan_stream(codec_gen, codec_params, vq_state, voc,
+                             voc_params, frame_size: int, backend: str = "auto",
+                             interpret: bool = False, weight_dtype=None,
+                             seg_budget_bytes: int = 9_000_000):
+    """On-device multi-frame streaming of a full vocoder-paired preset
+    (the reference's v0-v3: symAD analyzer tx -> wire codes -> HiFiGAN
+    vocoder rx, utils/audiodec.py:96-103): ``f(cache, frames
+    (N, frame_size)) -> (audio (N, frame_size * up // hop), cache)`` as one
+    jitted dispatch.
+
+    ``backend='pallas'`` (or 'auto' on TPU) runs the analyzer through the
+    PQC mega kernel (ops/mega_kernel.py) and the vocoder through the fused
+    segment pipeline (ops/vocoder_kernel.py) with the codebook lookup
+    in-kernel — the int32 wire codes are the only hand-off.  Topologies a
+    kernel can't assemble fall back to the XLA per-frame steps.
+
+    ``weight_dtype`` is forwarded to both kernels (default bf16; pass
+    ``jnp.float32`` for bit-exact wire parity with an XLA transmitter, see
+    make_mega_stream's docstring)."""
+    assert frame_size % codec_gen.hop == 0
+    z_rows = frame_size // codec_gen.hop
+    use_pqc = codec_gen.use_pqc
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas":
+        try:
+            from dl_speech_enhancement_tpu.ops.mega_kernel import (
+                make_mega_stream,
+            )
+            from dl_speech_enhancement_tpu.ops.vocoder_kernel import (
+                make_mega_vocoder,
+            )
+            mega_kw = ({} if weight_dtype is None
+                       else {"weight_dtype": weight_dtype})
+            enc_init, enc_run = make_mega_stream(
+                codec_gen, jax.device_put(codec_params), chunk=frame_size,
+                interpret=interpret,
+                vq_state=(jax.device_put(vq_state) if use_pqc else None),
+                **mega_kw,
+            )
+            rx_init, rx_run = make_mega_vocoder(
+                voc, jax.device_put(voc_params), frame_size,
+                interpret=interpret,
+                vq_embed=(jax.device_put(vq_state.embed) if use_pqc else None),
+                seg_budget_bytes=seg_budget_bytes, **mega_kw,
+            )
+        except AssertionError:  # topology a kernel doesn't cover
+            enc_init = None
+        if enc_init is not None:
+            if use_pqc:
+                @jax.jit
+                def run_fused(cache, frames):
+                    _, enc_new, codes = enc_run(cache["enc"], frames)
+                    y, rx_new = rx_run(cache["rx"], codes)
+                    return y, {"enc": enc_new, "rx": rx_new}
+            else:
+                @jax.jit
+                def run_fused(cache, frames):
+                    z, enc_new = enc_run(cache["enc"], frames)
+                    y, rx_new = rx_run(cache["rx"], z)
+                    return y, {"enc": enc_new, "rx": rx_new}
+
+            def init_fused():
+                return {"enc": enc_init(), "rx": rx_init()}
+
+            run_fused.init_cache = init_fused
+            return run_fused
+
+    codec_params = jax.device_put(codec_params)
+    voc_params = jax.device_put(voc_params)
+    if use_pqc:
+        vq_state = jax.device_put(vq_state)
+        flat_cb = jax.device_put(codec_gen.flat_codebook(vq_state))
+
+    def step(cache, frame):
+        x = frame[None, :, None]
+        z, enc_cache = codec_gen.encode_step(codec_params, cache["codec"], x)
+        if use_pqc:
+            idx = codec_gen.quantize(vq_state, z)
+            zq = codec_gen.lookup(flat_cb, idx)
+        else:
+            zq = z
+        y, voc_cache = voc.step(voc_params, cache["voc"], zq)
+        new_codec = dict(cache["codec"])
+        new_codec.update(enc_cache)
+        return {"codec": new_codec, "voc": voc_cache}, y[0, :, 0]
+
+    @jax.jit
+    def run(cache, frames):
+        cache, ys = jax.lax.scan(step, cache, frames)
+        return ys, cache
+
+    def init_cache():
+        return {"codec": codec_gen.init_cache(1), "voc": voc.init_cache(1)}
 
     run.init_cache = init_cache
     return run
