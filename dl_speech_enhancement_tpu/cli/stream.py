@@ -41,6 +41,11 @@ def main(argv=None):
                         help="output wav (multi-stream: one numbered file "
                              "per input)")
     parser.add_argument("--frame-size", type=int, default=1200)
+    parser.add_argument("--rx-backend", default="xla",
+                        choices=["xla", "pallas", "auto"],
+                        help="vocoder-rx compute path: 'pallas'/'auto' fuses "
+                             "the whole receiver into resident-weight "
+                             "kernels (ops/vocoder_kernel.py)")
     parser.add_argument("--max-latency", type=float, default=0.1)
     parser.add_argument("--live", action="store_true")
     parser.add_argument("--realtime", action="store_true",
@@ -67,7 +72,8 @@ def main(argv=None):
         )
     elif args.model:
         # named preset: may pair an analyzer tx with a vocoder rx
-        tx, rx, sample_rate = load_pair(args.model, batch=batch)
+        tx, rx, sample_rate = load_pair(args.model, batch=batch,
+                                        rx_backend=args.rx_backend)
         streamer = AudioCodecStreamer(
             tx.gen, tx.params, tx.vq_state, frame_size=args.frame_size,
             sample_rate=sample_rate, max_latency=args.max_latency,

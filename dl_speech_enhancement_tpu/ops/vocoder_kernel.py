@@ -13,7 +13,8 @@ Unlike the denoiser mega kernel (ops/mega_kernel.py, ~7.6 M params split
 across two kernels), the AudioDec v1 vocoder carries ~19 M parameters —
 too big for one kernel's VMEM residency (~16 MB/core).  The builder
 therefore packs the layer sequence greedily into segments under a
-per-kernel weight budget; weights stay VMEM-resident *within* each segment
+per-kernel scoped-VMEM budget (weights + scratch + temporaries estimate);
+weights stay VMEM-resident *within* each segment
 across every frame of the dispatch, and only tiny per-frame activation
 blocks (≤ ~60 KB) cross between segments through HBM.  Streaming caches
 use the same VMEM-scratch site pattern as the mega kernel: seeded from
@@ -84,14 +85,22 @@ class _Plan:
         self.wd = weight_dtype
         self.wbytes = 2 if weight_dtype == jnp.bfloat16 else 4
         self.budget = budget_bytes
-        self.pending = []  # (weight_bytes, entry_len, rows_in, lanes_in, build)
+        self.pending = []  # (cost_bytes, entry_len, rows_in, lanes_in, build)
         self.t = None      # current rows
         self.hlen = 1      # current list length
         self.lanes = None
 
-    def add(self, weight_params, build, out_len, out_rows, out_lanes):
+    def add(self, weight_params, build, out_len, out_rows, out_lanes,
+            extra_bytes=0):
+        """``extra_bytes`` estimates the op's non-weight scoped-VMEM demand
+        (cache-site scratch + live f32 temporaries + f32 consts like the
+        interleave matrices) — the deep 1200-row stages are dominated by it,
+        not by weights, and the TPU's scoped-VMEM stack (~16 MB) OOMs if the
+        packer counts weights alone (observed on-chip for the AudioDec v1
+        tail segment: 18.5 MB scoped demand from <1 MB of weights)."""
         self.pending.append(
-            (weight_params * self.wbytes, self.hlen, self.t, self.lanes, build)
+            (weight_params * self.wbytes + extra_bytes,
+             self.hlen, self.t, self.lanes, build)
         )
         self.hlen, self.t, self.lanes = out_len, out_rows, out_lanes
 
@@ -99,15 +108,15 @@ class _Plan:
         segs = []
         cur = None
         used = 0
-        for wb, elen, rows, lanes, build in self.pending:
-            if cur is None or (used + wb > self.budget and cur.ops):
+        for cost, elen, rows, lanes, build in self.pending:
+            if cur is None or (used + cost > self.budget and cur.ops):
                 if cur is not None:
                     segs.append(cur)
                 cur = _Seg(f"voc{len(segs)}")
                 cur.in_len, cur.in_rows, cur.in_lanes = elen, rows, lanes
                 used = 0
             build(cur)
-            used += wb
+            used += cost
         segs.append(cur)
         segs[0].in_rows, segs[0].in_lanes = in_rows, in_lanes
         segs[0].in_dtype = in_dtype
@@ -118,6 +127,14 @@ class _Plan:
         segs[-1].out_len, segs[-1].out_rows, segs[-1].out_lanes = (
             self.hlen, self.t, self.lanes)
         return segs
+
+
+def _pad_lanes(lanes):
+    """Mosaic stores f32 values in (8, 128) tiles: a 32-lane array still
+    occupies full 128-lane tiles, so scoped-VMEM estimates must use the
+    padded lane count (observed on-chip: a 2-unit 32-channel stage-3
+    segment estimated ~7 MB unpadded actually demanded 16.8 MB)."""
+    return -(-lanes // 128) * 128
 
 
 def _dot(a, b):
@@ -154,7 +171,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
     ``chunk`` is the per-frame *audio* sample count (must be a multiple of
     ``voc.total_upsample``).  Analyzer-statistics input normalization
     (HiFiGAN.py:206-219) is folded into the input conv's weights at
-    assembly.  ``seg_budget_bytes`` caps per-kernel VMEM weight residency.
+    assembly.  ``seg_budget_bytes`` caps each kernel's estimated
+    scoped-VMEM cost (weights + cache-site scratch + live temporaries).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -200,7 +218,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(embed.size, build_lookup, 1, z_rows, in_ch)
+        plan.add(embed.size * 2, build_lookup, 1, z_rows, in_ch,
+                 extra_bytes=6 * z_rows * _pad_lanes(book_k) * 4)
         in_dtype = jnp.int32
         in_lanes = n_books
     else:
@@ -235,7 +254,9 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
         seg.ops.append(body)
 
-    plan.add(w_in.size, build_input, 1, z_rows, ch0)
+    plan.add(w_in.size, build_input, 1, z_rows, ch0,
+             extra_bytes=((k_in - 1 + z_rows) * _pad_lanes(w_in.shape[1])
+                          + 6 * z_rows * _pad_lanes(ch0)) * 4)
 
     # ---- per-stage: leaky -> upsample -> fusion ----
     def add_upsample(si, up, up_p, t_in):
@@ -271,7 +292,10 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(wup.size, build, 1, t_out, c_out)
+        plan.add(wup.size, build, 1, t_out, c_out,
+                 extra_bytes=(t_out * _pad_lanes(t_in)  # f32 rep matrix
+                              + (t_in + 1) * _pad_lanes(c_in)
+                              + (s + 4) * t_out * _pad_lanes(c_out)) * 4)
         return t_out
 
     def add_resunit(uid, conv1, conv2, p1, p2, groups, c, rows, entry_len,
@@ -292,6 +316,9 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
             b2 = np.asarray(p2.get("b", np.zeros(w2.shape[2])))
         wsize = w1.size + (w2.size if conv2 is not None else 0)
         slots = list(range(groups)) if slot is None else [slot]
+        extra = groups * ((pad1 + rows)
+                          + ((pad2 + rows) if conv2 is not None else 0)
+                          + 6 * rows) * _pad_lanes(c) * 4
 
         def build(seg):
             for g in range(groups):
@@ -325,7 +352,7 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(wsize, build, entry_len, rows, c)
+        plan.add(wsize, build, entry_len, rows, c, extra_bytes=extra)
 
     def add_mgc(si, mgc, p, rows):
         """MultiGroupConv1d: tile x groups-fold, grouped resblock, 1x1 fuse
@@ -365,7 +392,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(wf.size, build_fuse, 1, rows, c)
+        plan.add(wf.size, build_fuse, 1, rows, c,
+                 extra_bytes=(groups + 2) * rows * _pad_lanes(c) * 4)
 
     def add_mrf(si, mrf, p, rows):
         """MultiReceptiveField: average of resblocks over the SAME entrance
@@ -443,7 +471,9 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
         seg.ops.append(body)
 
-    plan.add(w_out.size, build_output, 1, chunk, n_out)
+    plan.add(w_out.size, build_output, 1, chunk, n_out,
+             extra_bytes=((k_out - 1 + chunk) * _pad_lanes(c_last)
+                          + 6 * chunk * _pad_lanes(c_last)) * 4)
 
     segs = plan.pack(z_rows, in_lanes, in_dtype)
 

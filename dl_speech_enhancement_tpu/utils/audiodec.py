@@ -89,10 +89,14 @@ def load_generator_from_checkpoint(checkpoint: str, use_pqc: bool = True):
     return gen, params, vq_state, config
 
 
-def load_pair(model: str, exp_root: str = "exp", batch: int = 1):
+def load_pair(model: str, exp_root: str = "exp", batch: int = 1,
+              rx_backend: str = "xla"):
     """Build the tx/rx pair for a named preset: symmetric presets pair the
     codec with itself; v0-v3 presets pair the symAD analyzer (tx) with a
     HiFiGAN/UnivNet vocoder (rx) — utils/audiodec.py:32-57 semantics.
+
+    ``rx_backend='pallas'`` (or 'auto') routes a vocoder rx through the
+    fused segment pipeline (ops/vocoder_kernel.py) when possible.
 
     Returns (transmitter, receiver, sample_rate)."""
     import jax as _jax
@@ -116,7 +120,8 @@ def load_pair(model: str, exp_root: str = "exp", batch: int = 1):
         v_like = voc.init(_jax.random.PRNGKey(0))
         v_params = load_checkpoint(
             rx_ckpt, like={"params_generator": v_like})["params_generator"]
-        rx = VocoderReceiver(gen, voc, v_params, vq_state, batch=batch)
+        rx = VocoderReceiver(gen, voc, v_params, vq_state, batch=batch,
+                             backend=rx_backend)
         return tx, rx, sample_rate
     rx_gen, rx_params, rx_vq, _ = load_generator_from_checkpoint(rx_ckpt)
     rx = StreamingReceiver(rx_gen, rx_params, rx_vq, batch=batch)
