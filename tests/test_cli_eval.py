@@ -170,3 +170,42 @@ def test_testing_denoise_flagship_dump(tmp_path, rng):
     assert os.path.exists(str(tmp_path / "flag" / "test-3.wav"))
     assert os.path.exists(str(tmp_path / "noisy" / "test-0.wav"))
     assert os.path.exists(str(tmp_path / "clean" / "test-0.wav"))
+
+
+def test_serve_cli_fleet(tiny_ckpt, tmp_path, rng):
+    """cli.serve: a 16-stream fleet sharded over the 8-device mesh, inputs
+    tiled round-robin, per-stream outputs written and correctly paired."""
+    from dl_speech_enhancement_tpu.cli import serve as serve_cli
+
+    ins = []
+    for i in range(2):
+        p = str(tmp_path / f"in{i}.wav")
+        write_wav(p, (0.3 * rng.standard_normal(24 * 40)).astype(np.float32),
+                  SR)
+        ins.append(p)
+    out = str(tmp_path / "fleet.wav")
+    stats = serve_cli.main([
+        "--checkpoint", tiny_ckpt, "--streams", "16",
+        "-i", ins[0], "-i", ins[1], "-o", out,
+        "--frame-size", "24", "--block-frames", "4", "--max-outputs", "4",
+    ])
+    assert stats["streams"] == 16 and stats["devices"] == 8
+    assert stats["frames"] == 40
+    assert stats["realtime_stream_equivalents"] > 0
+    y = [np.fromfile(str(tmp_path / f"fleet-{b}.wav"), dtype=np.int16)[22:]
+         for b in range(4)]
+    # stream b plays input b % 2: 0==2, 1==3, 0!=1
+    assert np.array_equal(y[0], y[2]) and np.array_equal(y[1], y[3])
+    assert not np.array_equal(y[0], y[1])
+
+
+def test_serve_cli_stream_count_validation(tiny_ckpt, tmp_path, rng):
+    """Total streams must divide over the mesh devices."""
+    import pytest as _pytest
+    from dl_speech_enhancement_tpu.cli import serve as serve_cli
+
+    p = str(tmp_path / "in.wav")
+    write_wav(p, (0.3 * rng.standard_normal(240)).astype(np.float32), SR)
+    with _pytest.raises(ValueError, match="divide"):
+        serve_cli.main(["--checkpoint", tiny_ckpt, "--streams", "3",
+                        "-i", p, "--frame-size", "24"])
