@@ -36,8 +36,15 @@ def main(argv=None):
 
     enable_compile_cache()
     parser = ArgumentParser()
-    parser.add_argument("--checkpoint", required=True,
+    parser.add_argument("--checkpoint", default=None,
                         help="checkpoint directory (config.yml beside it)")
+    parser.add_argument("--model", default=None,
+                        help="named preset (utils/audiodec.py zoo) instead "
+                             "of --checkpoint; paired presets (vctk_v0-v3, "
+                             "vctk_denoise) serve their vocoder / asymmetric"
+                             " codec receiver in the same fleet dispatch")
+    parser.add_argument("--exp-root", default="exp",
+                        help="experiment root for --model preset paths")
     parser.add_argument("--without-pqc", action="store_true",
                         help="denoiser variant (no quantizer in the chain)")
     parser.add_argument("--streams", type=int, default=None,
@@ -67,17 +74,29 @@ def main(argv=None):
     from dl_speech_enhancement_tpu.parallel.serve import make_sharded_stream
     from dl_speech_enhancement_tpu.utils.audiodec import (
         load_generator_from_checkpoint,
+        load_pair_models,
     )
+
+    if (args.checkpoint is None) == (args.model is None):
+        raise SystemExit("give exactly one of --checkpoint or --model")
 
     mesh = make_mesh(args.devices)
     n_dev = int(mesh.devices.size)
     streams = n_dev if args.streams is None else args.streams
 
-    gen, params, vq_state, config = load_generator_from_checkpoint(
-        args.checkpoint, use_pqc=not args.without_pqc)
-    sample_rate = config.get("sampling_rate", config.get("sample_rate", 48000))
-
-    run = make_sharded_stream(gen, params, vq_state, mesh=mesh, batch=streams)
+    if args.model is not None:
+        pair = load_pair_models(args.model, args.exp_root)
+        sample_rate = pair.pop("sample_rate")
+        run = make_sharded_stream(pair.pop("gen"), pair.pop("params"),
+                                  pair.pop("vq_state"),
+                                  mesh=mesh, batch=streams, **pair)
+    else:
+        gen, params, vq_state, config = load_generator_from_checkpoint(
+            args.checkpoint, use_pqc=not args.without_pqc)
+        sample_rate = config.get("sampling_rate",
+                                 config.get("sample_rate", 48000))
+        run = make_sharded_stream(gen, params, vq_state,
+                                  mesh=mesh, batch=streams)
     logger.info("fleet: %d streams over %d device%s (%d/chip)", streams,
                 n_dev, "s" if n_dev > 1 else "", streams // n_dev)
 

@@ -89,6 +89,41 @@ def load_generator_from_checkpoint(checkpoint: str, use_pqc: bool = True):
     return gen, params, vq_state, config
 
 
+def load_pair_models(model: str, exp_root: str = "exp"):
+    """Load the raw model objects behind a named preset pair.
+
+    Returns a dict with ``sample_rate`` plus the tx codec
+    (``gen``/``params``/``vq_state``) and — for asymmetric presets — the
+    receiver: ``vocoder``/``vocoder_params`` (v0-v3 presets) or
+    ``rx_gen``/``rx_params``/``rx_vq_state`` (denoise preset). Symmetric
+    presets carry only the tx codec. The receiver keys line up with
+    ``parallel.serve.make_sharded_stream``'s keyword arguments so fleets
+    can be built directly from a preset name."""
+    import jax as _jax
+    from dl_speech_enhancement_tpu.utils.config import load_config_beside
+    from dl_speech_enhancement_tpu.utils.model_factory import build_generator
+    from dl_speech_enhancement_tpu.train.checkpoint import load_checkpoint
+
+    sample_rate, tx_ckpt, rx_ckpt = assign_model(model, exp_root)
+    gen, params, vq_state, _ = load_generator_from_checkpoint(tx_ckpt)
+    out = {"sample_rate": sample_rate, "gen": gen, "params": params,
+           "vq_state": vq_state}
+    if rx_ckpt == tx_ckpt:
+        return out
+    rx_config = load_config_beside(rx_ckpt)
+    if rx_config.get("train_mode") == "vocoder":
+        voc = build_generator(rx_config["model_type"],
+                              rx_config["generator_params"])
+        v_like = voc.init(_jax.random.PRNGKey(0))
+        v_params = load_checkpoint(
+            rx_ckpt, like={"params_generator": v_like})["params_generator"]
+        out.update(vocoder=voc, vocoder_params=jax.device_put(v_params))
+        return out
+    rx_gen, rx_params, rx_vq, _ = load_generator_from_checkpoint(rx_ckpt)
+    out.update(rx_gen=rx_gen, rx_params=rx_params, rx_vq_state=rx_vq)
+    return out
+
+
 def load_pair(model: str, exp_root: str = "exp", batch: int = 1,
               rx_backend: str = "xla"):
     """Build the tx/rx pair for a named preset: symmetric presets pair the
@@ -99,32 +134,22 @@ def load_pair(model: str, exp_root: str = "exp", batch: int = 1,
     fused segment pipeline (ops/vocoder_kernel.py) when possible.
 
     Returns (transmitter, receiver, sample_rate)."""
-    import jax as _jax
     from dl_speech_enhancement_tpu.stream.runtime import (
         StreamingTransmitter, StreamingReceiver, VocoderReceiver,
     )
-    from dl_speech_enhancement_tpu.utils.config import load_config_beside
-    from dl_speech_enhancement_tpu.utils.model_factory import build_generator
-    from dl_speech_enhancement_tpu.train.checkpoint import load_checkpoint
 
-    sample_rate, tx_ckpt, rx_ckpt = assign_model(model, exp_root)
-    gen, params, vq_state, _ = load_generator_from_checkpoint(tx_ckpt)
+    pair = load_pair_models(model, exp_root)
+    gen, params, vq_state = pair["gen"], pair["params"], pair["vq_state"]
+    sample_rate = pair["sample_rate"]
     tx = StreamingTransmitter(gen, params, vq_state, batch=batch)
-    if rx_ckpt == tx_ckpt:
+    if "vocoder" in pair:
+        rx = VocoderReceiver(gen, pair["vocoder"], pair["vocoder_params"],
+                             vq_state, batch=batch, backend=rx_backend)
+    elif "rx_gen" in pair:
+        rx = StreamingReceiver(pair["rx_gen"], pair["rx_params"],
+                               pair["rx_vq_state"], batch=batch)
+    else:
         rx = StreamingReceiver(gen, params, vq_state, batch=batch)
-        return tx, rx, sample_rate
-    rx_config = load_config_beside(rx_ckpt)
-    if rx_config.get("train_mode") == "vocoder":
-        voc = build_generator(rx_config["model_type"],
-                              rx_config["generator_params"])
-        v_like = voc.init(_jax.random.PRNGKey(0))
-        v_params = load_checkpoint(
-            rx_ckpt, like={"params_generator": v_like})["params_generator"]
-        rx = VocoderReceiver(gen, voc, v_params, vq_state, batch=batch,
-                             backend=rx_backend)
-        return tx, rx, sample_rate
-    rx_gen, rx_params, rx_vq, _ = load_generator_from_checkpoint(rx_ckpt)
-    rx = StreamingReceiver(rx_gen, rx_params, rx_vq, batch=batch)
     return tx, rx, sample_rate
 
 

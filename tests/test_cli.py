@@ -278,6 +278,22 @@ def test_load_pair_vocoder_preset(corpus, monkeypatch, tmp_path):
     y = rx.decode(idx)
     assert y.shape == (1, tx.gen.hop * 2, 1)
 
+    # the same preset drives a mesh-sharded fleet: cli.serve --model pairs
+    # the analyzer tx with the vocoder rx inside the one-dispatch step
+    from dl_speech_enhancement_tpu.cli import serve as serve_cli
+
+    wav = str(tmp_path / "in.wav")
+    write_wav(wav, (0.3 * _np.random.default_rng(1)
+                    .standard_normal(96)).astype(_np.float32), SR)
+    out = str(tmp_path / "served.wav")
+    stats = serve_cli.main([
+        "--model", "vctk_v1", "--exp-root", str(exp), "--streams", "8",
+        "-i", wav, "-o", out, "--frame-size", str(tx.gen.hop * 2),
+        "--block-frames", "4", "--max-outputs", "1",
+    ])
+    assert stats["streams"] == 8 and stats["devices"] == 8
+    assert os.path.exists(str(tmp_path / "served-0.wav"))
+
 
 def test_cli_train_denoise_course_laptop(corpus, monkeypatch, tmp_path):
     from dl_speech_enhancement_tpu.cli import train_denoise as course_cli

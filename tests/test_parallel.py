@@ -286,6 +286,126 @@ def test_sharded_stream_rejects_indivisible_batch():
         make_sharded_stream(gen, params, mesh=make_mesh(8), batch=12)
 
 
+def _assert_collective_free(compiled):
+    txt = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, op
+
+
+def test_sharded_stream_vocoder_rx_matches_single_device(rng):
+    """A v0-v3-style paired fleet (symAD analyzer tx -> HiFiGAN vocoder rx)
+    sharded over 8 devices must be bit-identical to the same step
+    composition on one device, with no collectives in the program."""
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    from dl_speech_enhancement_tpu.parallel import make_sharded_stream
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    params, vq_state = gen.init(jax.random.PRNGKey(1))
+    voc = HiFiGANGenerator(
+        in_channels=SMALL["code_dim"], channels=16,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),))
+    assert voc.total_upsample == gen.hop
+    v_params = voc.init(jax.random.PRNGKey(2))
+
+    hop = gen.hop
+    B, chunk = 16, hop * 2
+    x = rng.standard_normal((B, chunk * 5, 1)).astype(np.float32) * 0.3
+    frames = jnp.asarray(x.reshape(B, -1, chunk, 1).transpose(1, 0, 2, 3))
+
+    # single-device reference: the same tx->wire->rx composition, scanned
+    flat_cb = gen.flat_codebook(vq_state)
+
+    def ref_step(cache, frame):
+        tx_cache, rx_cache = cache
+        z, enc_cache = gen.encode_step(params, tx_cache, frame)
+        idx = gen.quantize(vq_state, z)
+        zq = gen.lookup(flat_cb, idx)
+        y, new_rx = voc.step(v_params, rx_cache, zq)
+        new_tx = dict(tx_cache)
+        new_tx.update(enc_cache)
+        return (new_tx, new_rx), y
+
+    tx0 = {k: v for k, v in gen.init_cache(B).items()
+           if k in ("encoder", "projector")}
+    _, ref = jax.lax.scan(ref_step, (tx0, voc.init_cache(B)), frames)
+
+    run = make_sharded_stream(gen, params, vq_state, mesh=make_mesh(8),
+                              batch=B, vocoder=voc, vocoder_params=v_params)
+    sharded = run.shard_frames(np.asarray(frames))
+    compiled = run.lower(run.init_cache(), sharded).compile()
+    _assert_collective_free(compiled)
+    got, new_cache = compiled(run.init_cache(), sharded)
+    assert got.shape == (frames.shape[0], B, chunk, 1)
+    # the vocoder's convs lower differently for the per-device batch of 2
+    # than for the full batch of 16 (float reassociation only — observed
+    # max |diff| 3e-8); the codec-only fleet happens to stay bit-exact
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+    leaf = jax.tree_util.tree_leaves(new_cache)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_sharded_stream_asymmetric_codec_rx(rng):
+    """The denoise-preset pairing: a fine-tuned tx codec quantizes with its
+    own quantizer, a DIFFERENT rx codec looks the indices up in its own
+    codebook and decodes (utils/audiodec.py vctk_denoise semantics)."""
+    from dl_speech_enhancement_tpu.parallel import make_sharded_stream
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    params, vq_state = gen.init(jax.random.PRNGKey(3))
+    rx_gen = AudioDecGenerator(**SMALL, use_pqc=True)
+    rx_params, rx_vq = rx_gen.init(jax.random.PRNGKey(4))
+
+    hop = gen.hop
+    B, chunk = 8, hop * 2
+    x = rng.standard_normal((B, chunk * 4, 1)).astype(np.float32) * 0.3
+    frames = jnp.asarray(x.reshape(B, -1, chunk, 1).transpose(1, 0, 2, 3))
+
+    rx_flat_cb = rx_gen.flat_codebook(rx_vq)
+
+    def ref_step(cache, frame):
+        tx_cache, rx_cache = cache
+        z, enc_cache = gen.encode_step(params, tx_cache, frame)
+        idx = gen.quantize(vq_state, z)
+        zq = rx_gen.lookup(rx_flat_cb, idx)
+        y, dec_cache = rx_gen.decode_step(rx_params, rx_cache, zq)
+        new_tx = dict(tx_cache)
+        new_tx.update(enc_cache)
+        new_rx = dict(rx_cache)
+        new_rx.update(dec_cache)
+        return (new_tx, new_rx), y
+
+    tx0 = {k: v for k, v in gen.init_cache(B).items()
+           if k in ("encoder", "projector")}
+    rx0 = {"decoder": rx_gen.init_cache(B)["decoder"]}
+    _, ref = jax.lax.scan(ref_step, (tx0, rx0), frames)
+
+    run = make_sharded_stream(
+        gen, params, vq_state, mesh=make_mesh(8), batch=B,
+        rx_gen=rx_gen, rx_params=rx_params, rx_vq_state=rx_vq)
+    sharded = run.shard_frames(np.asarray(frames))
+    compiled = run.lower(run.init_cache(), sharded).compile()
+    _assert_collective_free(compiled)
+    got, _ = compiled(run.init_cache(), sharded)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sharded_stream_rejects_conflicting_rx():
+    from dl_speech_enhancement_tpu.parallel import make_sharded_stream
+
+    gen = AudioDecGenerator(**SMALL, use_pqc=False)
+    params, _ = gen.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="not both"):
+        make_sharded_stream(gen, params, mesh=make_mesh(8), batch=8,
+                            vocoder=object(), vocoder_params={},
+                            rx_gen=gen, rx_params=params)
+    with pytest.raises(ValueError, match="together"):
+        make_sharded_stream(gen, params, mesh=make_mesh(8), batch=8,
+                            vocoder=object())
+
+
 # ---------------------------------------------------------------------------
 # config-driven DP: trainers build their mesh from `parallel.data_devices`
 # (cli/train.py --dp / cli/train_denoise.py --dp set the same key)
