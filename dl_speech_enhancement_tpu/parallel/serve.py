@@ -74,6 +74,10 @@ def make_sharded_stream(gen, params, vq_state=None, *, mesh: Mesh | None = None,
         raise ValueError("vocoder and vocoder_params must be given together")
     if rx_gen is not None and rx_params is None:
         raise ValueError("rx_gen requires rx_params")
+    if rx_gen is not None and gen.use_pqc and rx_vq_state is None:
+        raise ValueError(
+            "a PQC tx sends code indices: the codec rx needs rx_vq_state "
+            "to look them up")
     mesh = mesh if mesh is not None else make_mesh()
     n_dev = int(mesh.devices.size)
     batch = n_dev if batch is None else int(batch)
@@ -98,7 +102,7 @@ def make_sharded_stream(gen, params, vq_state=None, *, mesh: Mesh | None = None,
         rx_params = jax.device_put(rx_params, rep)
         rx_flat_cb = (jax.device_put(rx_gen.flat_codebook(
             jax.device_put(rx_vq_state, rep)), rep)
-            if gen.use_pqc and rx_vq_state is not None else None)
+            if gen.use_pqc else None)
 
     def step(cache, frame):
         z, enc_cache = gen.encode_step(params, cache, frame)
