@@ -40,9 +40,9 @@ def main(argv=None):
                         help="checkpoint directory (config.yml beside it)")
     parser.add_argument("--model", default=None,
                         help="named preset (utils/audiodec.py zoo) instead "
-                             "of --checkpoint; paired presets (vctk_v0-v3, "
-                             "vctk_denoise) serve their vocoder / asymmetric"
-                             " codec receiver in the same fleet dispatch")
+                             "of --checkpoint; paired presets (vctk_v0-v2, "
+                             "vctk_univ, vctk_denoise) serve their vocoder "
+                             "receiver in the same fleet dispatch")
     parser.add_argument("--exp-root", default="exp",
                         help="experiment root for --model preset paths")
     parser.add_argument("--without-pqc", action="store_true",
@@ -79,6 +79,12 @@ def main(argv=None):
 
     if (args.checkpoint is None) == (args.model is None):
         raise SystemExit("give exactly one of --checkpoint or --model")
+    if args.model is not None and args.without_pqc:
+        # presets carry their own architecture (the denoise preset's tx is
+        # already the fine-tuned PQC encoder) — silently loading the tx
+        # with use_pqc=True would ignore the flag
+        raise SystemExit("--without-pqc applies to --checkpoint loads only; "
+                         "presets define their own architecture")
 
     mesh = make_mesh(args.devices)
     n_dev = int(mesh.devices.size)

@@ -22,13 +22,17 @@ Beyond the symmetric codec, the fleet serves the reference's *paired*
 presets (utils/audiodec.py:96-164 semantics) in the same one-dispatch
 shape:
 
-- **vocoder rx** (v0-v3 presets): symAD analyzer tx -> codebook lookup ->
+- **vocoder rx** (v0-v3 + denoise presets): codec analyzer tx (for the
+  denoise preset, the fine-tuned encoder) -> lookup in the TX codebook ->
   HiFiGAN/UnivNet vocoder streaming decode, via ``vocoder=``/
-  ``vocoder_params=``;
-- **asymmetric codec rx** (denoise preset: fine-tuned encoder tx, clean
-  codec rx): tx quantizes with its own quantizer, rx looks the indices up
-  in its OWN codebook and decodes, via ``rx_gen=``/``rx_params=``/
-  ``rx_vq_state=``.
+  ``vocoder_params=`` — exactly the reference's load_receiver pairing
+  (utils/audiodec.py:49-57,96-103: indices are always looked up with the
+  tx checkpoint's codebook);
+- **asymmetric codec rx** (an extension mode with no reference analogue):
+  tx quantizes with its own quantizer, a DIFFERENT rx codec looks the
+  indices up in its OWN codebook and decodes, via ``rx_gen=``/
+  ``rx_params=``/``rx_vq_state=``. Useful for serving mismatched
+  tx/rx codec checkpoints; no named preset maps to it.
 
 In both paired modes the int32 code indices are the tx->rx hand-off
 exactly as in the reference wire format — they just never leave the chip.
@@ -74,6 +78,9 @@ def make_sharded_stream(gen, params, vq_state=None, *, mesh: Mesh | None = None,
         raise ValueError("vocoder and vocoder_params must be given together")
     if rx_gen is not None and rx_params is None:
         raise ValueError("rx_gen requires rx_params")
+    if rx_gen is None and (rx_params is not None or rx_vq_state is not None):
+        # a caller typo would otherwise degrade silently to a symmetric fleet
+        raise ValueError("rx_params/rx_vq_state require rx_gen")
     if rx_gen is not None and gen.use_pqc and rx_vq_state is None:
         raise ValueError(
             "a PQC tx sends code indices: the codec rx needs rx_vq_state "

@@ -55,13 +55,18 @@ def assign_model(model: str, exp_root: str = "exp"):
                     voc("AudioDec_v2_symAD_vctk_48000_hop300_clean")),
         "vctk_sym": (48000, ae("symAD_vctk_48000_hop300", 500000),
                      ae("symAD_vctk_48000_hop300", 500000)),
-        "vctk_v3": (48000, ae("symADuniv_vctk_48000_hop300", 500000),
-                    voc("AudioDec_v3_symADuniv_vctk_48000_hop300_clean")),
+        "vctk_univ": (48000, ae("symADuniv_vctk_48000_hop300", 500000),
+                      voc("AudioDec_v3_symADuniv_vctk_48000_hop300_clean")),
         "vctk_univ_sym": (48000, ae("symADuniv_vctk_48000_hop300", 500000),
                           ae("symADuniv_vctk_48000_hop300", 500000)),
+        # the reference pairs the fine-tuned denoise tx with the AudioDec_v1
+        # VOCODER rx (utils/audiodec.py:144-149), decoding the tx's indices
+        # with the tx codebook embeddings — not with a second codec
         "vctk_denoise": (48000, dn("symAD_vctk_48000_hop300"),
-                         ae("symAD_vctk_48000_hop300", 500000)),
+                         voc("AudioDec_v1_symAD_vctk_48000_hop300_clean")),
     }
+    # historical alias from earlier rounds (the reference name is vctk_univ)
+    presets["vctk_v3"] = presets["vctk_univ"]
     if model not in presets:
         raise NotImplementedError(f"Model {model} is not supported!")
     return presets[model]

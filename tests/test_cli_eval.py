@@ -102,8 +102,8 @@ def test_audiodec_facade_and_model_zoo(tiny_ckpt, tmp_path, rng):
 
     # preset table: all 9 names resolve, unknown raises
     for name in ("libritts_v1", "libritts_sym", "vctk_v0", "vctk_v1",
-                 "vctk_v2", "vctk_sym", "vctk_v3", "vctk_univ_sym",
-                 "vctk_denoise"):
+                 "vctk_v2", "vctk_sym", "vctk_univ", "vctk_v3",
+                 "vctk_univ_sym", "vctk_denoise"):
         sr, tx, rx = assign_model(name)
         assert sr in (24000, 48000) and "checkpoint" in tx
     with pytest.raises(NotImplementedError):

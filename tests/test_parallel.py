@@ -348,9 +348,11 @@ def test_sharded_stream_vocoder_rx_matches_single_device(rng):
 
 
 def test_sharded_stream_asymmetric_codec_rx(rng):
-    """The denoise-preset pairing: a fine-tuned tx codec quantizes with its
+    """Asymmetric codec-rx extension mode: the tx codec quantizes with its
     own quantizer, a DIFFERENT rx codec looks the indices up in its own
-    codebook and decodes (utils/audiodec.py vctk_denoise semantics)."""
+    codebook and decodes. (No reference preset maps to this — the reference
+    always decodes with the tx codebook; it's the mismatched-checkpoint
+    serving mode.)"""
     from dl_speech_enhancement_tpu.parallel import make_sharded_stream
 
     gen = AudioDecGenerator(**SMALL, use_pqc=True)
