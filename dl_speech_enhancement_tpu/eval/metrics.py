@@ -178,6 +178,53 @@ def sdr(preds: np.ndarray, target: np.ndarray, filter_length: int = 512,
     ))
 
 
+# ---------------------------------------------------- lag-aligned SI-SDR
+
+def si_sdr_best_lag(preds: np.ndarray, target: np.ndarray,
+                    max_lag: int = 4800) -> tuple[float, int]:
+    """SI-SDR after compensating a single global time shift.
+
+    Plain SI-SDR collapses under even small misalignments (a 1 ms shift of
+    otherwise-perfect 48 kHz speech scores < 0 dB), while mel-magnitude
+    training losses are shift-tolerant — so a causal enhancement model can
+    legitimately converge to a time-shifted solution that raw SI-SDR calls
+    garbage. This finds the lag in [-max_lag, +max_lag] maximizing the
+    |cross-correlation| (FFT-based, exact), trims both signals to the
+    aligned overlap, and returns ``(si_sdr_dB, lag)``. ``lag > 0`` means
+    the estimate is DELAYED relative to the target by that many samples.
+    Used by the quality-campaign eval to separate "wrong waveform" from
+    "right waveform, shifted" (reference measures raw SI-SDR only,
+    sandbox.py:101-115).
+    """
+    est = np.asarray(preds, np.float64).reshape(-1)
+    ref = np.asarray(target, np.float64).reshape(-1)
+    n = min(len(est), len(ref))
+    est, ref = est[:n] - est[:n].mean(), ref[:n] - ref[:n].mean()
+    max_lag = int(min(max_lag, n - 1))
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    E = np.fft.rfft(est, nfft)
+    R = np.fft.rfft(ref, nfft)
+    # c[k] = sum_t est[t] ref[t - k] (circular; n <= nfft/2 keeps the
+    # lags of interest linear)
+    c = np.fft.irfft(E * np.conj(R), nfft)
+    lags = np.concatenate([np.arange(0, max_lag + 1),
+                           np.arange(-max_lag, 0)])
+    vals = np.concatenate([c[: max_lag + 1], c[-max_lag:]])
+    lag = int(lags[np.argmax(np.abs(vals))])
+    if lag >= 0:
+        e2, r2 = est[lag:], ref[: n - lag]
+    else:
+        e2, r2 = est[: n + lag], ref[-lag:]
+    e2 = e2 - e2.mean()
+    r2 = r2 - r2.mean()
+    alpha = float(np.dot(e2, r2)) / (float(np.dot(r2, r2)) + 1e-30)
+    proj = alpha * r2
+    err = e2 - proj
+    val = 10.0 * np.log10((np.sum(proj ** 2) + 1e-30)
+                          / (np.sum(err ** 2) + 1e-30))
+    return float(val), lag
+
+
 # ---------------------------------------------------------------- Mel L1
 
 def mel_l1(preds, target, fs: int, **mel_kwargs) -> float:
@@ -193,6 +240,10 @@ def mel_l1(preds, target, fs: int, **mel_kwargs) -> float:
         fmin=mel_kwargs.get("fmin", 0),
         fmax=mel_kwargs.get("fmax", fs // 2),
         log_base=mel_kwargs.get("log_base"),
+        # eval metric: always the FFT pipeline (bit-matched to torch.stft);
+        # the fused training kernel trades <1% deviation for speed, which a
+        # measurement shouldn't
+        backend="xla",
     )
     p = np.asarray(preds, np.float32).reshape(1, -1)
     t = np.asarray(target, np.float32).reshape(1, -1)

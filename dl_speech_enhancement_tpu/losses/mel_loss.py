@@ -29,6 +29,7 @@ class MultiMelSpectrogramLoss:
         onesided: bool = True,
         eps: float = 1e-10,
         log_base=10.0,
+        backend: str = "auto",
     ):
         assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
         assert center and not normalized and onesided
@@ -36,7 +37,7 @@ class MultiMelSpectrogramLoss:
             MelSpectrogram(
                 fs=fs, fft_size=f, hop_size=h, win_length=w, window=window,
                 num_mels=num_mels, fmin=fmin, fmax=fmax, eps=eps,
-                log_base=log_base,
+                log_base=log_base, backend=backend,
             )
             for f, h, w in zip(fft_sizes, hop_sizes, win_lengths)
         ]

@@ -61,6 +61,14 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
     # the module docstring). Off by default — used by the training-dynamics
     # parity tests and for bit-faithful reproduction runs.
     compat_adv = config.get("compat_adv_on_waveform", False)
+    # EXTENSION (no reference analogue, default off): a waveform-domain L1
+    # term. The reference objective (train_denoise.py:138-154) carries no
+    # loss with a usable waveform-fidelity gradient — mel L1 is
+    # magnitude-only and the 1-sigmoid(SNR) gate's gradient vanishes once
+    # SNR saturates — so the learned solution is free to drift in
+    # phase/time (measured: SI-SDR ~= -18 dB while DNSMOS improves; see
+    # docs/QUALITY_r03.md). lambda_wave_l1 > 0 pins the waveform itself.
+    l_wl1 = float(config.get("lambda_wave_l1", 0.0))
     # memory/recompute trade for large-batch adversarial steps: compute each
     # sub-discriminator's adv + feature-matching contribution under
     # jax.checkpoint so only ONE sub-D's feature list is live at a time
@@ -106,6 +114,10 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
         snr = l_snr * (1.0 - jax.nn.sigmoid(signal_noise_ratio(y, target)))
         total = mel + snr
         frags = {"mel_loss": mel, "snr_loss": snr}
+        if l_wl1 > 0.0:
+            wl1 = l_wl1 * jnp.mean(jnp.abs(y - target))
+            total = total + wl1
+            frags["wave_l1_loss"] = wl1
         if use_disc:
             if remat_disc and not compat_adv:
                 adv, fm = _adv_fm_remat(params_d, y, target)

@@ -107,6 +107,41 @@ def test_sdr_behavior(rng):
     assert sdr(noisy, x) < 5
 
 
+def test_si_sdr_best_lag(rng):
+    """Aligned SI-SDR recovers the true shift and the unshifted score."""
+    from dl_speech_enhancement_tpu.eval import scale_invariant_sdr, si_sdr_best_lag
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    clean = (np.sin(2 * np.pi * 220 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float64)
+    noisy = clean + 0.01 * rng.standard_normal(len(clean))
+
+    # identity: lag 0, aligned == raw (high)
+    val0, lag0 = si_sdr_best_lag(noisy, clean)
+    assert lag0 == 0
+    raw0 = float(scale_invariant_sdr(noisy[None], clean[None]))
+    assert abs(val0 - raw0) < 0.2 and val0 > 20
+
+    # a 1.5 ms delay: raw SI-SDR collapses, aligned recovers shift + score
+    d = 72
+    delayed = np.concatenate([np.zeros(d), noisy[:-d]])
+    raw = float(scale_invariant_sdr(delayed[None], clean[None]))
+    assert raw < 5
+    val, lag = si_sdr_best_lag(delayed, clean)
+    assert lag == d
+    assert val > 20
+
+    # negative lag (estimate ahead of target)
+    advanced = np.concatenate([noisy[d:], np.zeros(d)])
+    val, lag = si_sdr_best_lag(advanced, clean)
+    assert lag == -d and val > 20
+
+    # polarity flip must not fool the |xcorr| peak search
+    val, lag = si_sdr_best_lag(-delayed, clean)
+    assert lag == d and val > 20
+
+
 @requires_reference
 def test_analyze_cli_metric_battery(tmp_path, rng):
     """Full analysis battery on real audio through a tiny trained-ish model."""

@@ -11,12 +11,21 @@ Scales tools/demo_e2e.py into the sustained quality evidence run
 - on-the-fly SNR mixing in [10, 20) dB over the reference demo corpus
   (6 clean + 6 noise clips, clip 6 held out), random 1 s crops; optional
   noise dropout (the report §3.2 augmentation, intended pre-mix semantics);
-- every --eval-every steps the held-out clip is mixed at EACH of
-  --eval-snrs dB and scored with the in-repo DNSMOS (plus SI-SDR/SNR vs
-  the clean reference, which are much lower-variance than single-clip
-  DNSMOS); per-SNR and mean scores are appended to a JSONL curve;
+- every --eval-every steps the held-out material is scored with the
+  in-repo DNSMOS plus SI-SDR (raw AND best-lag-aligned, eval/metrics.py::
+  si_sdr_best_lag), SNR, and mel-L1 vs the clean reference; per-SNR and
+  mean scores are appended to a JSONL curve.
+
+  Round-3 protocol: the held-out clip (clip 6, 2.77 s) is far shorter
+  than DNSMOS's 9.01 s design window, so each eval utterance is the
+  CONCATENATION of clip 6 mixed with three rotations of noise 6 at the
+  target SNR (~8.3 s — one full DNSMOS window; cuts the single-window
+  variance and noise-alignment bias of the r02 protocol);
 - the best checkpoint by mean OVRL is archived (course format: generator
-  params only) along with its denoised wavs;
+  params only) along with its denoised wavs; the last mel-only-phase
+  params are archived separately at the --disc-at boundary
+  (checkpoint-melonly + melonly.json) as the adversarial-vs-mel-only
+  control;
 - crash/resume safe: full training state is saved to checkpoint-latest at
   every eval and --resume (or an existing checkpoint-latest + --auto-resume)
   continues from it;
@@ -70,11 +79,18 @@ def main():
                         help="rate decrement applied every --ndo-decay-every")
     parser.add_argument("--ndo-decay-every", type=int, default=2000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--wave-l1", type=float, default=0.0,
+                        help="EXTENSION lambda_wave_l1 (waveform L1 term; "
+                        "0 = reference-faithful objective)")
     parser.add_argument("--resume", default=None,
                         help="checkpoint-latest dir to resume from")
     parser.add_argument("--auto-resume", action="store_true",
                         help="resume from <out>/checkpoint-latest if present")
-    parser.add_argument("--out", default="/tmp/quality_r02")
+    parser.add_argument("--init-from", default=None,
+                        help="checkpoint dir holding params_generator to "
+                        "warm-start from (fresh optimizers; for ablation "
+                        "fine-tunes off an archived checkpoint)")
+    parser.add_argument("--out", default="runs/quality_r03")
     args = parser.parse_args()
     os.makedirs(args.out, exist_ok=True)
     curve_path = os.path.join(args.out, "curve.jsonl")
@@ -101,6 +117,9 @@ def main():
     )
     from dl_speech_enhancement_tpu.losses.metrics import (
         scale_invariant_sdr, signal_noise_ratio,
+    )
+    from dl_speech_enhancement_tpu.eval.metrics import (
+        si_sdr_best_lag, mel_l1, stoi,
     )
     from dl_speech_enhancement_tpu.eval.dnsmos import ComputeScore
 
@@ -141,6 +160,7 @@ def main():
         discriminator_adv_loss_params={"average_by_discriminators": False},
         discriminator_remat=args.disc_remat,
         grad_accum=args.accum,
+        lambda_wave_l1=args.wave_l1,
     )
     gen = AudioDecGenerator(use_pqc=False, remat=args.remat)
     disc = HiFiGANDiscriminator()
@@ -199,17 +219,32 @@ def main():
         with open(meta_path) as f:
             start_step = json.load(f)["step"]
         print(f"resumed from {resume_path} at step {start_step}", flush=True)
+    elif args.init_from:
+        restored = load_checkpoint(args.init_from,
+                                   like={"params_generator": params_g})
+        state["params_generator"] = restored["params_generator"]
+        state["opt_generator"] = opt_g.init(state["params_generator"])
+        if ema is not None:
+            ema = jax.tree.map(jnp.array, state["params_generator"])
+        del restored, params_g
+        print(f"warm-started generator from {args.init_from}", flush=True)
     rng = np.random.default_rng(args.seed + start_step)
     steps_fns = make_course_steps(gen, disc, config, opt_g, opt_d)
 
-    # held-out eval material: clip 6 (clean + noise), trimmed to a hop
-    # multiple, mixed deterministically at each eval SNR
+    # held-out eval material (round-3 protocol): clip 6 is only 2.77 s but
+    # DNSMOS scores 9.01 s windows, so the eval utterance at each SNR is
+    # clip 6 mixed with THREE deterministic rotations of noise 6,
+    # concatenated (~8.3 s = one full DNSMOS window)
     c6 = cleans[5][: len(noises[5])]
     n6 = noises[5][: len(c6)]
     t = (min(len(c6), len(n6)) // gen.hop) * gen.hop
-    heldout_clean = c6[:t]
+    seg_clean = c6[:t]
+    heldout_clean = np.concatenate([seg_clean] * 3)
     heldout_mixes = {
-        snr: add_noise(heldout_clean, n6[:t], snr).astype(np.float32)
+        snr: np.concatenate([
+            add_noise(seg_clean, np.roll(n6[:t], -(k * t) // 3, axis=0), snr)
+            for k in range(3)
+        ]).astype(np.float32)
         for snr in eval_snrs
     }
 
@@ -227,20 +262,45 @@ def main():
         s = scorer(path)
         return {k: round(float(s[k]), 4) for k in keys}
 
+    def fidelity(wave):
+        """Waveform/spectral fidelity of `wave` vs the clean reference.
+
+        The battery is designed to separate three failure stories the raw
+        SI-SDR number cannot: raw + best-lag-aligned SI-SDR (+ the lag) for
+        "right waveform, shifted"; STOI/ESTOI (envelope-correlation,
+        phase-robust) + mel-L1 for "phase-incoherent re-synthesis of the
+        right speech"; SNR for plain residual level."""
+        out = {}
+        out["si_sdr"] = round(float(scale_invariant_sdr(
+            wave[None, :, 0], heldout_clean[None, :, 0])), 3)
+        aligned, lag = si_sdr_best_lag(wave[:, 0], heldout_clean[:, 0])
+        out["si_sdr_aligned"] = round(aligned, 3)
+        out["lag"] = lag
+        out["snr"] = round(float(signal_noise_ratio(
+            wave[:, 0], heldout_clean[:, 0])), 3)
+        out["stoi"] = round(stoi(heldout_clean[:, 0], wave[:, 0], sr), 4)
+        out["estoi"] = round(
+            stoi(heldout_clean[:, 0], wave[:, 0], sr, extended=True), 4)
+        out["mel_l1"] = round(float(mel_l1(
+            wave[:, 0], heldout_clean[:, 0], sr,
+            **{k: v for k, v in config["mel_loss_params"].items()
+               if k != "fs"})), 4)
+        return out
+
+    MEAN_KEYS = keys + ("si_sdr", "si_sdr_aligned", "snr", "stoi", "estoi",
+                        "mel_l1")
+
     def dnsmos_eval(params, step, dump=False):
-        """Denoise the held-out clip at each eval SNR; report per-SNR DNSMOS
-        + SI-SDR/SNR vs clean, and the across-SNR mean of each metric."""
+        """Denoise the held-out utterance at each eval SNR; report per-SNR
+        DNSMOS + fidelity vs clean, and the across-SNR mean of each."""
         per_snr, ovrls = {}, []
-        mean = {k: 0.0 for k in keys + ("si_sdr", "snr")}
+        mean = {k: 0.0 for k in MEAN_KEYS}
         for snr in eval_snrs:
             den = np.asarray(infer(params, jnp.asarray(heldout_mixes[snr][None])))[0]
             path = (f"{args.out}/denoised_step{step}_snr{snr}.wav" if dump
                     else f"{args.out}/denoised_latest_snr{snr}.wav")
             s = score_wave(den, path)
-            s["si_sdr"] = round(float(scale_invariant_sdr(
-                den[None, :, 0], heldout_clean[None, :, 0])), 3)
-            s["snr"] = round(float(signal_noise_ratio(
-                den[:, 0], heldout_clean[:, 0])), 3)
+            s.update(fidelity(den))
             per_snr[str(snr)] = s
             ovrls.append(s["OVRL"])
             for k in mean:
@@ -248,11 +308,13 @@ def main():
         return {"per_snr": per_snr,
                 "mean": {k: round(v, 4) for k, v in mean.items()}}
 
+    # identity-passthrough control: the unprocessed noisy input scored with
+    # the same battery (sanity: si_sdr == input SNR ballpark, lag == 0,
+    # aligned == raw)
     ref_scores = {"clean": score_wave(heldout_clean, f"{args.out}/clean.wav")}
     for snr in eval_snrs:
         s = score_wave(heldout_mixes[snr], f"{args.out}/noisy_snr{snr}.wav")
-        s["si_sdr"] = round(float(scale_invariant_sdr(
-            heldout_mixes[snr][None, :, 0], heldout_clean[None, :, 0])), 3)
+        s.update(fidelity(heldout_mixes[snr]))
         ref_scores[f"noisy_{snr}dB"] = s
         print(f"DNSMOS noisy@{snr}dB: {s}", flush=True)
     print(f"DNSMOS clean: {ref_scores['clean']}", flush=True)
@@ -308,6 +370,21 @@ def main():
             with open(curve_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             print(f"EVAL {rec}", flush=True)
+            if i + 1 == args.disc_at:
+                # archive the last mel-only-phase generator as the
+                # adversarial-vs-mel-only control (fires when --disc-at is
+                # a multiple of --eval-every)
+                save_checkpoint(os.path.join(args.out, "checkpoint-melonly"),
+                                {"params_generator": eval_params})
+                with open(f"{args.out}/melonly.json", "w") as f:
+                    json.dump({"step": i + 1, **scores}, f, indent=1)
+                for snr in eval_snrs:
+                    shutil.copyfile(
+                        f"{args.out}/denoised_step{i+1}_snr{snr}.wav"
+                        if dump else
+                        f"{args.out}/denoised_latest_snr{snr}.wav",
+                        f"{args.out}/denoised_melonly_snr{snr}.wav")
+                print(f"MELONLY archived at step {i+1}", flush=True)
             n_eval = (i + 1) // args.eval_every
             if n_eval % args.save_every == 0 or i == args.steps - 1:
                 save_checkpoint(
