@@ -153,7 +153,8 @@ def _tap_conv(v, w, rows, taps, dilation, bias=None):
 
 def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
                       interpret=False, vq_embed=None,
-                      seg_budget_bytes=9_000_000):
+                      seg_budget_bytes=9_000_000,
+                      group_pack_max_lanes=128):
     """Build the fused streaming pipeline for a causal HiFiGAN generator.
 
     Returns ``(init_cache, run)``:
@@ -173,6 +174,10 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
     (HiFiGAN.py:206-219) is folded into the input conv's weights at
     assembly.  ``seg_budget_bytes`` caps each kernel's estimated
     scoped-VMEM cost (weights + cache-site scratch + live temporaries).
+    ``group_pack_max_lanes``: MultiGroupConv1d stages whose
+    ``groups * per-group channels`` fit within this lane count run
+    group-packed — block-diagonal dense tap matmuls instead of per-group
+    ones (3x fewer matmul issues on the deep narrow stages; 0 disables).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -354,13 +359,106 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
         plan.add(wsize, build, entry_len, rows, c, extra_bytes=extra)
 
-    def add_mgc(si, mgc, p, rows):
+    def add_resunit_packed(uid, conv1, conv2, p1, p2, groups, c, rows,
+                           entry_len):
+        """Group-packed dilation unit: the ``groups`` per-group (c -> c)
+        convs of a MultiGroupConv1d unit run as ONE dense
+        ``(groups*c -> groups*c)`` tap matmul with block-diagonal weights.
+        For groups*c within a lane-tile multiple this trades a little
+        block-diag zero-padding FLOP for a ``groups``-fold cut in matmul
+        issues and cache sites — the deep 1200-row stages of the v1 preset
+        are issue-bound on 32-lane (pad-128) operands, so the stage-3 cut
+        (198 -> 66 matmuls) is pure win (measured: see docs/SCALING.md)."""
+        gc = groups * c
+        k1, d1 = conv1.kernel_size, conv1.dilation
+        pad1 = (k1 - 1) * d1
+        w1 = np.asarray(conv1.weight(p1))  # (k, c, groups*c)
+        b1 = np.asarray(p1.get("b", np.zeros(w1.shape[2])))
+        w1bd = np.zeros((k1, gc, gc), w1.dtype)
+        for g in range(groups):
+            w1bd[:, g * c : (g + 1) * c, g * c : (g + 1) * c] = (
+                w1[:, :, g * c : (g + 1) * c])
+        if conv2 is not None:
+            k2, d2 = conv2.kernel_size, conv2.dilation
+            pad2 = (k2 - 1) * d2
+            w2 = np.asarray(conv2.weight(p2))
+            b2 = np.asarray(p2.get("b", np.zeros(w2.shape[2])))
+            w2bd = np.zeros((k2, gc, gc), w2.dtype)
+            for g in range(groups):
+                w2bd[:, g * c : (g + 1) * c, g * c : (g + 1) * c] = (
+                    w2[:, :, g * c : (g + 1) * c])
+        wsize = w1bd.size + (w2bd.size if conv2 is not None else 0)
+        extra = ((pad1 + rows)
+                 + ((pad2 + rows) if conv2 is not None else 0)
+                 + 6 * rows) * _pad_lanes(gc) * 4
+
+        def build(seg):
+            seg.consts.add(f"{uid}w1", w1bd.astype(wd))
+            seg.consts.add(f"{uid}b1",
+                           b1.reshape(1, -1).astype(np.float32))
+            seg.cache(f"{uid}c1", pad1, gc, rows)
+            if conv2 is not None:
+                seg.consts.add(f"{uid}w2", w2bd.astype(wd))
+                seg.consts.add(f"{uid}b2",
+                               b2.reshape(1, -1).astype(np.float32))
+                seg.cache(f"{uid}c2", pad2, gc, rows)
+
+            def body(i, hs, site, C):
+                x = hs[0]
+                v = site(f"{uid}c1", pad1, _leaky(x, slope))
+                xt = _tap_conv(v.astype(wd), C[f"{uid}w1"], rows, k1, d1,
+                               C[f"{uid}b1"][...])
+                if conv2 is not None:
+                    v = site(f"{uid}c2", pad2, _leaky(xt, slope))
+                    xt = _tap_conv(v.astype(wd), C[f"{uid}w2"], rows, k2,
+                                   d2, C[f"{uid}b2"][...])
+                return [xt + x]
+
+            seg.ops.append(body)
+
+        plan.add(wsize, build, entry_len, rows, gc, extra_bytes=extra)
+
+    def add_mgc(si, mgc, p, rows, group_pack_max_lanes=128):
         """MultiGroupConv1d: tile x groups-fold, grouped resblock, 1x1 fuse
-        (multi_fusion.py:82-141)."""
+        (multi_fusion.py:82-141).  When ``groups * c`` fits within
+        ``group_pack_max_lanes`` the whole block runs group-packed (see
+        add_resunit_packed): tile is a lane-concat, units are block-diag
+        dense matmuls, and the 1x1 fuse is its natural single dense
+        ``(groups*c, c)`` matmul."""
         groups = mgc.groups
         blk = mgc.block
         bp = p["block"]
         c = blk.convs1[0].in_channels // groups
+        gc = groups * c
+        packed = gc <= group_pack_max_lanes
+        wf = np.asarray(mgc.conv_out.weight(p["conv_out"]))[0]  # (g*c, c)
+
+        if packed:
+            def build_tile_packed(seg):
+                def body(i, hs, site, C):
+                    return [jnp.concatenate([hs[0]] * groups, axis=1)]
+
+                seg.ops.append(body)
+
+            plan.add(0, build_tile_packed, 1, rows, gc)
+
+            for ui, conv1 in enumerate(blk.convs1):
+                conv2 = blk.convs2[ui] if blk.use_additional_convs else None
+                p2 = bp["convs2"][ui] if blk.use_additional_convs else None
+                add_resunit_packed(f"s{si}u{ui}", conv1, conv2,
+                                   bp["convs1"][ui], p2, groups, c, rows, 1)
+
+            def build_fuse_packed(seg):
+                seg.consts.add(f"s{si}f", wf.astype(wd))
+
+                def body(i, hs, site, C):
+                    return [_dot(hs[0].astype(wd), C[f"s{si}f"][...])]
+
+                seg.ops.append(body)
+
+            plan.add(wf.size, build_fuse_packed, 1, rows, c,
+                     extra_bytes=3 * rows * _pad_lanes(gc) * 4)
+            return
 
         def build_tile(seg):
             def body(i, hs, site, C):
@@ -375,8 +473,6 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
             p2 = bp["convs2"][ui] if blk.use_additional_convs else None
             add_resunit(f"s{si}u{ui}", conv1, conv2, bp["convs1"][ui], p2,
                         groups, c, rows, groups)
-
-        wf = np.asarray(mgc.conv_out.weight(p["conv_out"]))[0]  # (g*c, c)
 
         def build_fuse(seg):
             for g in range(groups):
@@ -441,7 +537,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         t = add_upsample(si, voc.upsamples[si], params["upsamples"][si], t)
         blkmod = voc.blocks[si]
         if isinstance(blkmod, MultiGroupConv1d):
-            add_mgc(si, blkmod, params["blocks"][si], t)
+            add_mgc(si, blkmod, params["blocks"][si], t,
+                    group_pack_max_lanes=group_pack_max_lanes)
         else:
             assert isinstance(blkmod, MultiReceptiveField)
             add_mrf(si, blkmod, params["blocks"][si], t)

@@ -361,6 +361,52 @@ def test_grad_accum_step_matches_full_batch(rng):
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_wave_l1_extension(rng):
+    """lambda_wave_l1 > 0 adds exactly lambda * mean|y - t| to the
+    generator objective (EXTENSION; default 0 = reference-faithful)."""
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    base = dict(
+        mel_loss_params=dict(fs=2400, fft_sizes=[64], hop_sizes=[16],
+                             win_lengths=[None], num_mels=8, fmin=0,
+                             fmax=1200, log_base=None),
+        lambda_mel_loss=45.0, lambda_snr_loss=1.0, lambda_adv=1.0,
+        lambda_feat_match=2.0,
+    )
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    params_g, _ = gen.init(kg)
+    params_d = disc.init(kd)
+    opt_g = build_optimizer("Adam", {"lr": 1e-3}, grad_norm=10.0)
+    opt_d = build_optimizer("Adam", {"lr": 2e-4}, grad_norm=10.0)
+    x = jnp.asarray(rng.standard_normal((2, 96, 1)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((2, 96, 1)).astype(np.float32) * 0.1)
+
+    def one(lam):
+        cfg = dict(base, lambda_wave_l1=lam)
+        step = make_course_steps(gen, disc, cfg, opt_g, opt_d)["train"]
+        copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+        state = {
+            "params_generator": copy(params_g),
+            "params_discriminator": copy(params_d),
+            "opt_generator": opt_g.init(copy(params_g)),
+            "opt_discriminator": opt_d.init(copy(params_d)),
+        }
+        _, g_loss, _, frags, _ = step(state, x, t)
+        return float(g_loss), {k: float(v) for k, v in frags.items()}
+
+    g0, f0 = one(0.0)
+    g1, f1 = one(3.0)
+    assert "wave_l1_loss" not in f0
+    assert f1["wave_l1_loss"] > 0
+    # identical forward (same init/batch): the added term is exactly the
+    # loss delta, and equals 3 * mean|y - t| within float tolerance
+    np.testing.assert_allclose(g1 - g0, f1["wave_l1_loss"], rtol=1e-4)
+    np.testing.assert_allclose(f1["mel_loss"], f0["mel_loss"], rtol=1e-5)
+
+
 def test_grad_accum_snr_gate_is_per_microbatch(rng):
     """With the SNR gate enabled, grad_accum evaluates 1-sigmoid(SNR) per
     microbatch and averages (documented semantic: SNR is batch-global, so

@@ -57,6 +57,28 @@ def test_vocoder_kernel_matches_xla_streaming(rng, make_voc):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
+def test_vocoder_kernel_group_pack_off_matches_xla_and_packed(rng):
+    """The unpacked per-group path (group_pack_max_lanes=0) stays exact,
+    and the packed block-diagonal path agrees with it bit-for-bit in f32
+    (block-diag zeros contribute exactly 0 to each tap accumulation)."""
+    voc = _mgc_voc()
+    params = voc.init(jax.random.PRNGKey(3))
+    chunk = 3 * voc.total_upsample
+    z_rows = chunk // voc.total_upsample
+    zq = jnp.asarray(rng.standard_normal((4, z_rows, 8)), jnp.float32)
+    ic0, run0 = make_mega_vocoder(voc, params, chunk,
+                                  weight_dtype=jnp.float32,
+                                  interpret=True, group_pack_max_lanes=0)
+    icp, runp = make_mega_vocoder(voc, params, chunk,
+                                  weight_dtype=jnp.float32,
+                                  interpret=True)
+    out0, _ = run0(ic0(), zq)
+    outp, _ = runp(icp(), zq)
+    ref = _xla_stream(voc, params, zq)
+    np.testing.assert_allclose(np.asarray(out0), ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(out0), atol=2e-6)
+
+
 def test_vocoder_kernel_stats_normalization_folded(rng):
     stats = np.stack([rng.standard_normal(8).astype(np.float32),
                       0.5 + rng.random(8).astype(np.float32)])
