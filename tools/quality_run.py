@@ -341,10 +341,12 @@ def main():
             state, jnp.asarray(noisy), jnp.asarray(clean))
         if ema is not None:
             ema = ema_update(ema, state["params_generator"])
-        # fetch (= fence) every 10 steps: bounds the donated-step queue depth
+        # fetch (= fence) every 5 steps: bounds the donated-step queue depth
         # on the tunneled backend (deep queues of donated GAN steps have
-        # wedged it — see tools/train_bench.py) at <1% throughput cost
-        if i % 10 == 0 or i == args.steps - 1:
+        # wedged it — see tools/train_bench.py; a cadence-10 run with the
+        # EMA chain wedged mid-fetch at step ~4510 on 2026-08-20) at <2%
+        # throughput cost
+        if i % 5 == 0 or i == args.steps - 1:
             g, d = float(g_loss), float(d_loss)
             if ema is not None:
                 # fence the (donated) EMA dispatch chain at the same
