@@ -33,6 +33,20 @@ CPU (25 ms windows; encode 21.57 ms + decode 24.83 ms overlapped across two
 threads — DeepLearning_Poster.pdf Table 2). ``vs_baseline`` is the
 single-stream x-real-time number. The driver's north star is >50x.
 
+Round-3 additions to ``detail`` (every round-2 headline is now
+driver-captured rather than probe-only):
+
+- ``vocoder_rx_{pallas,xla}_us_frame``: the AudioDec v1 HiFiGAN vocoder
+  receiver (19 M params) as the fused Pallas segment pipeline vs XLA scan;
+- ``paired_v1_*``: the full paired-preset pipeline (symAD analyzer tx ->
+  RVQ codes -> v1 vocoder rx), 16 streams batched — the reference's
+  AudioDec v1 demo composition (utils/audiodec.py v1 pairing);
+- ``frame600_*``: the reference's streaming operating point — smallest
+  hop-aligned frame near its 512-sample window (12.5 ms), with the honest
+  encode/decode split (poster Table 2 presents enc ms / dec ms);
+- ``train_*_b16``: adversarial course-training throughput (audio-s/s) and
+  XLA-cost-model MFU at batch 16 x 1 s.
+
 Prints ONE JSON line.
 """
 
@@ -204,6 +218,208 @@ def main():
     t_batch_hi, spread_batch_hi = measure(streams_hi, "xla", n_hi=200)
     realtime_streams_hi = frame_time / t_batch_hi * streams_hi
 
+    # ---- vocoder receiver (AudioDec v1 pairing): Pallas pipeline vs XLA ----
+    # (round-2 headline was probe-only; captured by the driver from r3 on)
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    from dl_speech_enhancement_tpu.ops.vocoder_kernel import make_mega_vocoder
+
+    voc = HiFiGANGenerator(
+        in_channels=64, out_channels=1, channels=512, kernel_size=7,
+        upsample_scales=(5, 5, 4, 3), upsample_kernel_sizes=(10, 10, 8, 6),
+        resblock_kernel_sizes=(11,), resblock_dilations=((1, 3, 5),),
+        groups=3)
+    v_params = voc.init(jax.random.PRNGKey(1))
+    voc_z_rows = frame_size // voc.total_upsample
+    voc_init, voc_run = make_mega_vocoder(voc, v_params, frame_size)
+
+    @jax.jit
+    def run_voc_mega(cache, z):
+        out, _ = voc_run(cache, z)
+        return jnp.sum(jnp.square(out))
+
+    def voc_step(cache, z):
+        y, new_cache = voc.step(v_params, cache, z[None])
+        return new_cache, jnp.sum(jnp.square(y))
+
+    @jax.jit
+    def run_voc_xla(cache, z):
+        cache, es = lax.scan(voc_step, cache, z)
+        return jnp.sum(es)
+
+    def fit_voc_once(run, cache_fn, n_hi, trials=3):
+        n1, n2 = n_hi // 4, n_hi
+
+        def timed(n):
+            z = jax.device_put(
+                rng.standard_normal((n, voc_z_rows, 64)).astype(np.float32))
+            _ = float(run(cache_fn(), z))
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                _ = float(run(cache_fn(), z))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(n2) - timed(n1)) / (n2 - n1)
+
+    t_voc, spread_voc = median_spread(
+        [fit_voc_once(run_voc_mega, voc_init, 800) for _ in range(3)])
+    t_voc_xla, spread_voc_xla = median_spread(
+        [fit_voc_once(run_voc_xla, lambda: voc.init_cache(1), 400)
+         for _ in range(3)])
+
+    # ---- paired-preset fleet (symAD tx -> codes -> v1 vocoder rx),
+    # 16 streams batched, the parallel/serve.py per-chip composition ----
+    flat_cb = pqc_gen.flat_codebook(pqc_vq)
+
+    def pair_step(cache, frame):
+        enc_cache, rx_cache = cache
+        z, enc_parts = pqc_gen.encode_step(pqc_params, enc_cache, frame)
+        enc_cache = dict(enc_cache)
+        enc_cache.update(enc_parts)
+        codes = pqc_gen.quantize(pqc_vq, z)
+        zq = pqc_gen.lookup(flat_cb, codes)
+        y, rx_cache = voc.step(v_params, rx_cache, zq)
+        return (enc_cache, rx_cache), jnp.sum(jnp.square(y))
+
+    @jax.jit
+    def run_pair(cache, frames):
+        cache, es = lax.scan(pair_step, cache, frames)
+        return jnp.sum(es)
+
+    def fit_pair_once(b, n_hi=100, trials=3):
+        n1, n2 = n_hi // 4, n_hi
+
+        def timed(n):
+            cache = (pqc_gen.init_cache(b), voc.init_cache(b))
+            frames = jax.device_put(
+                rng.standard_normal((n, b, frame_size, 1)).astype(np.float32))
+            _ = float(run_pair(cache, frames))
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                _ = float(run_pair(cache, frames))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(n2) - timed(n1)) / (n2 - n1)
+
+    t_pair16, spread_pair16 = median_spread(
+        [fit_pair_once(16) for _ in range(3)])
+    pair_streams_16 = frame_time / t_pair16 * 16
+
+    # ---- reference operating point: frame 512 (10.67 ms), single stream,
+    # with the honest encode/decode split (poster Table 2 presentation) ----
+    f512 = 600  # 12.5 ms: the hop-aligned frame nearest the reference's
+    #             512-sample (10.67 ms) streaming window (hop 300 divides it)
+    def chunk_step_512_enc(cache, x):
+        z, enc_cache = gen.encode_step(params, cache, x)
+        new_cache = dict(cache)
+        new_cache.update(enc_cache)
+        return new_cache, jnp.sum(jnp.square(z))
+
+    @jax.jit
+    def run_enc_512(cache, frames):
+        cache, es = lax.scan(chunk_step_512_enc, cache, frames)
+        return jnp.sum(es)
+
+    @jax.jit
+    def run_full_512(cache, frames):
+        cache, es = lax.scan(chunk_step, cache, frames)
+        return jnp.sum(es)
+
+    def fit_512_once(run, n_hi=1600, trials=3):
+        n1, n2 = n_hi // 4, n_hi
+
+        def timed(n):
+            cache = gen.init_cache(1)
+            frames = jax.device_put(
+                rng.standard_normal((n, 1, f512, 1)).astype(np.float32))
+            _ = float(run(cache, frames))
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                _ = float(run(cache, frames))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(n2) - timed(n1)) / (n2 - n1)
+
+    t_512, spread_512 = median_spread(
+        [fit_512_once(run_full_512) for _ in range(3)])
+    t_512_enc, _ = median_spread(
+        [fit_512_once(run_enc_512) for _ in range(3)])
+    t_512_dec = max(t_512 - t_512_enc, 0.0)
+
+    # ---- training throughput: full adversarial course step (G then D),
+    # B x 1 s, per-step device time via RTT-subtracted value-fenced walls
+    # (tools/train_bench.py methodology; queue depth 1 — deep donated-step
+    # queues wedge the tunneled backend) ----
+    from dl_speech_enhancement_tpu.models import HiFiGANDiscriminator
+    from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
+    from dl_speech_enhancement_tpu.train.optim import build_optimizer
+
+    def train_leg(B, remat):
+        tg = AudioDecGenerator(use_pqc=False, remat=remat)
+        seg = 48000 // tg.hop * tg.hop
+        tcfg = dict(
+            mel_loss_params=dict(fs=48000, fft_sizes=[2048], hop_sizes=[300],
+                                 win_lengths=[None], num_mels=80, fmin=0,
+                                 fmax=24000, log_base=None),
+            lambda_mel_loss=45.0, lambda_snr_loss=1.0, lambda_adv=1.0,
+            lambda_feat_match=2.0,
+            generator_adv_loss_params={"average_by_discriminators": False},
+            discriminator_adv_loss_params={"average_by_discriminators": False},
+            discriminator_remat=remat,
+        )
+        disc = HiFiGANDiscriminator()
+        kg, kd = jax.random.split(jax.random.PRNGKey(0))
+        pg, _ = tg.init(kg)
+        pd = disc.init(kd)
+        og = build_optimizer("Adam", {"lr": 1e-3, "betas": [0.5, 0.9]},
+                             grad_norm=10.0)
+        od = build_optimizer("Adam", {"lr": 2e-4, "betas": [0.5, 0.9]},
+                             grad_norm=10.0)
+        stepfn = make_course_steps(tg, disc, tcfg, og, od)["train_disc"]
+        x = jax.device_put(
+            rng.standard_normal((B, seg, 1)).astype(np.float32) * 0.1)
+        y = jax.device_put(
+            rng.standard_normal((B, seg, 1)).astype(np.float32) * 0.1)
+        st = {"params_generator": jax.device_put(pg),
+              "params_discriminator": jax.device_put(pd),
+              "opt_generator": jax.device_put(og.init(pg)),
+              "opt_discriminator": jax.device_put(od.init(pd))}
+        st, g, d, _, _ = stepfn(st, x, y)
+        _ = float(g)
+        step_flops = None
+        try:
+            an = stepfn.lower(st, x, y).compile().cost_analysis()
+            if an and an.get("flops"):
+                step_flops = float(an["flops"])
+        except Exception:
+            pass
+        z = jax.device_put(jnp.zeros(()))
+        rtts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            _ = float(z + 1.0)
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        walls = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            st, g, d, _, _ = stepfn(st, x, y)
+            _ = float(g)
+            walls.append(time.perf_counter() - t0)
+        dev = float(np.median(walls)) - rtt
+        audio_s = B * seg / 48000 / dev
+        mfu = (100.0 * step_flops / dev / V5E_PEAK_FLOPS
+               if step_flops else None)
+        del st, x, y
+        return audio_s, mfu, dev
+
+    train_audio_16, train_mfu_16, train_dev_16 = train_leg(16, False)
+
     # single-dispatch end-to-end latency (incl. host round trip): one frame
     single = jax.jit(chunk_step)
     cache = gen.init_cache(1)
@@ -271,6 +487,23 @@ def main():
             "pqc_x_realtime": round(frame_time / t_pqc, 1),
             "offline_denoise_x_realtime": round(offline_x_rt, 1),
             "single_dispatch_latency_ms": round(dispatch_latency_ms, 2),
+            "vocoder_rx_pallas_us_frame": round(t_voc * 1e6, 2),
+            "vocoder_rx_pallas_spread_pct": round(spread_voc, 1),
+            "vocoder_rx_xla_us_frame": round(t_voc_xla * 1e6, 2),
+            "vocoder_rx_xla_spread_pct": round(spread_voc_xla, 1),
+            "vocoder_rx_x_realtime": round(frame_time / min(t_voc, t_voc_xla), 1),
+            "paired_v1_stream_ms_at_16": round(t_pair16 * 1e3, 3),
+            "paired_v1_spread_pct_at_16": round(spread_pair16, 1),
+            "paired_v1_streams_per_chip_at_16": round(pair_streams_16, 1),
+            "frame600_us": round(t_512 * 1e6, 2),
+            "frame600_spread_pct": round(spread_512, 1),
+            "frame600_x_realtime": round(f512 / sample_rate / t_512, 1),
+            "frame600_enc_us": round(t_512_enc * 1e6, 2),
+            "frame600_dec_us": round(t_512_dec * 1e6, 2),
+            "train_audio_s_per_s_b16": round(train_audio_16, 1),
+            "train_step_ms_b16": round(train_dev_16 * 1e3, 1),
+            "train_mfu_pct_v5e_bf16_b16": (round(train_mfu_16, 2)
+                                           if train_mfu_16 else None),
         },
     }
     print(json.dumps(result))

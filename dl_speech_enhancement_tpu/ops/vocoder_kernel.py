@@ -276,7 +276,12 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         def build(seg):
             seg.consts.add(f"s{si}uW", wup.astype(wd))
             seg.consts.add(f"s{si}ub", bup.reshape(1, -1).astype(np.float32))
-            seg.consts.add(f"s{si}U", _rep_matrix(t_in, s))
+            # the 0/1 replication matrix is exact in ANY float dtype, so it
+            # rides the weight dtype: in bf16 the big (t_out, t_in) gather
+            # matmul takes single-pass MXU instead of the 3-pass f32
+            # decomposition (yp is freshly accumulated f32 — one rounding
+            # to wd here, same as every tap matmul input)
+            seg.consts.add(f"s{si}U", _rep_matrix(t_in, s).astype(wd))
             seg.cache(f"s{si}u", 1, c_in, t_in)
 
             def body(i, hs, site, C):
@@ -288,7 +293,7 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
                 for p in range(s):
                     yp = (_dot(vw[0:t_in], w[cpad - p])
                           + _dot(vw[1 : t_in + 1], w[cpad + s - p]))
-                    rp = _dot(urep, yp)
+                    rp = _dot(urep, yp.astype(wd))
                     mask = (lax.broadcasted_iota(jnp.int32, (t_out, 1), 0)
                             % s) == p
                     t = jnp.where(mask, rp, 0.0)
