@@ -23,6 +23,19 @@ scalar-fetch fence cancels. The fit is repeated ``N_FITS`` times and the
 median is reported with its spread — single fits were seen to wobble ~20%
 run-to-run (VERDICT round 1), medians agree within a few percent.
 
+**Budgeted leg scheduler (round 4).** Round 3's bench grew past the
+driver's timeout and, because every leg had to finish before the single
+JSON line printed, captured NOTHING (VERDICT r3 #1). Now the legs run in
+priority order (round-2 headline legs first) under a wall-clock budget
+read from ``BENCH_BUDGET_S`` (default 420 s). Before each leg starts the
+scheduler checks the remaining budget against the leg's cost estimate and
+skips it if it cannot fit; a leg that raises is recorded as an error and
+the run continues. The JSON line ALWAYS prints, with per-leg
+status/wall seconds in ``detail["legs"]`` and ``"skipped"`` markers for
+whatever didn't fit. Measured leg walls (warm compile cache, 2026-08-20,
+recorded in README): full run ~360 s; cold cache: the first legs compile
+in-budget and the rest are marked skipped.
+
 Roofline context in ``detail``: model FLOPs/frame (utils/profiling.py::
 codec_flops_per_sample), achieved TFLOP/s, MFU vs the v5e bf16 peak
 (394 TFLOP/s), and the mega path's HBM bytes/frame (cache spill + audio
@@ -33,16 +46,15 @@ CPU (25 ms windows; encode 21.57 ms + decode 24.83 ms overlapped across two
 threads — DeepLearning_Poster.pdf Table 2). ``vs_baseline`` is the
 single-stream x-real-time number. The driver's north star is >50x.
 
-Round-3 additions to ``detail`` (every round-2 headline is now
-driver-captured rather than probe-only):
+Lower-priority legs (captured when budget allows):
 
 - ``vocoder_rx_{pallas,xla}_us_frame``: the AudioDec v1 HiFiGAN vocoder
   receiver (19 M params) as the fused Pallas segment pipeline vs XLA scan;
 - ``paired_v1_*``: the full paired-preset pipeline (symAD analyzer tx ->
   RVQ codes -> v1 vocoder rx), 16 streams batched — the reference's
   AudioDec v1 demo composition (utils/audiodec.py v1 pairing);
-- ``frame600_*``: the reference's streaming operating point — smallest
-  hop-aligned frame near its 512-sample window (12.5 ms), with the honest
+- ``frame600_*``: frame 600 (12.5 ms), the hop-aligned streaming point
+  nearest the reference's 512-sample (10.67 ms) window, with the honest
   encode/decode split (poster Table 2 presents enc ms / dec ms);
 - ``train_*_b16``: adversarial course-training throughput (audio-s/s) and
   XLA-cost-model MFU at batch 16 x 1 s.
@@ -51,12 +63,19 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-N_FITS = 5
+N_FITS = 3
 V5E_PEAK_FLOPS = 394e12  # bf16 MXU peak, TPU v5e
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+T0 = time.time()
+
+
+def remaining():
+    return BUDGET_S - (time.time() - T0)
 
 
 def median_spread(xs):
@@ -70,7 +89,6 @@ def main():
     import jax.numpy as jnp
     from jax import lax
     from dl_speech_enhancement_tpu.models import AudioDecGenerator
-    from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
     from dl_speech_enhancement_tpu.utils.profiling import (
         codec_flops_per_sample,
         enable_compile_cache,
@@ -84,56 +102,38 @@ def main():
     sample_rate = 48000
     frame_size = 1200  # 25 ms @ 48 kHz, 4 code frames at hop 300
     n_frames = 1600    # 40 s of audio per long dispatch
+    frame_time = frame_size / sample_rate
 
     gen = AudioDecGenerator(use_pqc=False)
     params, _ = gen.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
 
-    # ---- XLA path: scan over the per-frame streaming steps ----
-    def chunk_step(cache, x):
-        z, enc_cache = gen.encode_step(params, cache, x)
-        y, dec_cache = gen.decode_step(params, cache, z)
-        new_cache = dict(cache)
-        new_cache.update(enc_cache)
-        new_cache.update(dec_cache)
-        return new_cache, jnp.sum(jnp.square(y))
+    detail = {"n_fits": N_FITS, "frame_size": frame_size,
+              "budget_s": BUDGET_S}
+    legs_report = {}
+    S = {}  # shared state across legs (lazily built models/kernels)
 
-    @jax.jit
-    def run_stream(cache, frames):
-        cache, energies = lax.scan(chunk_step, cache, frames)
-        return jnp.sum(energies)
+    # device-array cache: two-point fits re-time the same shapes N_FITS
+    # times; uploading the frames once per shape (instead of once per fit)
+    # keeps the 77 MB/s tunnel out of the leg walls. Cleared between legs.
+    _dev_cache = {}
 
-    # ---- mega path: whole-stack Pallas kernels, frames (N, frame_size) ----
-    mega_init_cache, mega_run = make_mega_stream(gen, params, chunk=frame_size)
+    def dev_frames(shape):
+        key = tuple(shape)
+        if key not in _dev_cache:
+            _dev_cache[key] = jax.device_put(
+                rng.standard_normal(shape).astype(np.float32))
+        return _dev_cache[key]
 
-    @jax.jit
-    def run_stream_mega(cache, frames):
-        out, _ = mega_run(cache, frames)
-        return jnp.sum(jnp.square(out))
-
-    def fit_once(batch, mode, trials=3, n_hi=None):
+    def two_point(run, make_cache, frames_shape_fn, n_hi, trials=3):
         """One two-point fit: the scalar-fetch fence costs one host<->device
         round trip (~30 ms through this environment's tunnel), so time scans
-        of two lengths and take the slope — the RTT intercept cancels. The
-        mega path is ~3x faster per frame, so its scans are 4x longer to
-        keep the slope well above the fence jitter; large batches use fewer
-        frames so the host->device frame upload stays bounded."""
-        if n_hi is None:
-            n_hi = n_frames * 4 if mode == "mega" else n_frames
+        of two lengths and take the slope — the RTT intercept cancels."""
         n1, n2 = n_hi // 4, n_hi
 
         def timed(n):
-            if mode == "mega":
-                cache = mega_init_cache()
-                frames = jax.device_put(
-                    rng.standard_normal((n, frame_size)).astype(np.float32))
-                run = run_stream_mega
-            else:
-                cache = gen.init_cache(batch)
-                frames = jax.device_put(
-                    rng.standard_normal((n, batch, frame_size, 1))
-                    .astype(np.float32))
-                run = run_stream
+            frames = dev_frames(frames_shape_fn(n))
+            cache = make_cache()
             _ = float(run(cache, frames))  # compile + settle
             best = float("inf")
             for _ in range(trials):
@@ -144,223 +144,277 @@ def main():
 
         return (timed(n2) - timed(n1)) / (n2 - n1)
 
-    def measure(batch, mode="xla", n_hi=None):
-        fits = [fit_once(batch, mode, n_hi=n_hi) for _ in range(N_FITS)]
+    def fit_n(run, make_cache, frames_shape_fn, n_hi, n_fits=N_FITS):
+        fits = [two_point(run, make_cache, frames_shape_fn, n_hi)
+                for _ in range(n_fits)]
         return median_spread(fits)
 
-    frame_time = frame_size / sample_rate
-    t_xla, spread_xla = measure(1, "xla")
-    t_mega, spread_mega = measure(1, "mega")
-    t_single = min(t_xla, t_mega)
-    x_rt_single = frame_time / t_single
+    # ---------------------------------------------------------------- legs
 
-    # roofline accounting — attributed to the MEGA path specifically: the
-    # HBM byte model below (cache drain, amortized VMEM-resident bf16
-    # weights) describes the mega kernel's traffic, so divide by t_mega,
-    # not by whichever path won the headline
-    flops_frame = codec_flops_per_sample(gen) * frame_size
-    tflops = flops_frame / t_mega / 1e12
-    mfu_pct = 100.0 * flops_frame / t_mega / V5E_PEAK_FLOPS
-    cache_bytes = sum(int(np.prod(v.shape)) * 4
-                      for v in mega_init_cache().values())
-    n_params = sum(int(np.prod(np.asarray(l).shape))
-                   for l in jax.tree_util.tree_leaves(params))
-    z_bytes = (frame_size // gen.hop) * gen.encoder.out_channels * 4
-    hbm_frame = (2 * frame_size * 4      # audio in + out (f32)
-                 + 2 * z_bytes           # feature hand-off write + read
-                 + cache_bytes           # cache drain (write every frame)
-                 + 2 * n_params / (n_frames * 4))  # bf16 weights / dispatch
-    hbm_gb_s = hbm_frame / t_mega / 1e9
+    def leg_xla_single():
+        def chunk_step(cache, x):
+            z, enc_cache = gen.encode_step(params, cache, x)
+            y, dec_cache = gen.decode_step(params, cache, z)
+            new_cache = dict(cache)
+            new_cache.update(enc_cache)
+            new_cache.update(dec_cache)
+            return new_cache, jnp.sum(jnp.square(y))
 
-    # PQC (symAD) codec single-stream: the full encode->RVQ->decode chain
-    # through the same mega-kernel path (reference AudioDec v1 runs this at
-    # ~74 ms per 25 ms frame on its laptop baseline).
-    from dl_speech_enhancement_tpu.models import AudioDecGenerator as _G
-    pqc_gen = _G(use_pqc=True)
-    pqc_params, pqc_vq = pqc_gen.init(jax.random.PRNGKey(0))
-    pqc_init_cache, pqc_run = make_mega_stream(
-        pqc_gen, pqc_params, chunk=frame_size, vq_state=pqc_vq)
+        S["chunk_step"] = chunk_step
 
-    @jax.jit
-    def run_stream_pqc(cache, frames):
-        out, _, codes = pqc_run(cache, frames)
-        return jnp.sum(jnp.square(out)) + jnp.sum(codes)
+        @jax.jit
+        def run_stream(cache, frames):
+            cache, energies = lax.scan(chunk_step, cache, frames)
+            return jnp.sum(energies)
 
-    def fit_pqc_once(trials=3):
-        n_hi = n_frames * 4
-        n1, n2 = n_hi // 4, n_hi
+        S["run_stream"] = run_stream
+        t, spread = fit_n(run_stream, lambda: gen.init_cache(1),
+                          lambda n: (n, 1, frame_size, 1), n_frames)
+        S["t_xla"] = t
+        detail["frame_us_xla"] = round(t * 1e6, 2)
+        detail["frame_us_xla_spread_pct"] = round(spread, 1)
 
-        def timed(n):
-            cache = pqc_init_cache()
-            frames = jax.device_put(
-                rng.standard_normal((n, frame_size)).astype(np.float32))
-            _ = float(run_stream_pqc(cache, frames))
+    def leg_mega_single():
+        from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
+
+        mega_init_cache, mega_run = make_mega_stream(
+            gen, params, chunk=frame_size)
+
+        @jax.jit
+        def run_stream_mega(cache, frames):
+            out, _ = mega_run(cache, frames)
+            return jnp.sum(jnp.square(out))
+
+        t, spread = fit_n(run_stream_mega, mega_init_cache,
+                          lambda n: (n, frame_size), n_frames * 4)
+        S["t_mega"] = t
+        detail["frame_us_mega"] = round(t * 1e6, 2)
+        detail["frame_us_mega_spread_pct"] = round(spread, 1)
+
+        # roofline accounting — attributed to the MEGA path specifically:
+        # the HBM byte model below (cache drain, amortized VMEM-resident
+        # bf16 weights) describes the mega kernel's traffic
+        flops_frame = codec_flops_per_sample(gen) * frame_size
+        cache_bytes = sum(int(np.prod(v.shape)) * 4
+                          for v in mega_init_cache().values())
+        n_params = sum(int(np.prod(np.asarray(l).shape))
+                       for l in jax.tree_util.tree_leaves(params))
+        z_bytes = (frame_size // gen.hop) * gen.encoder.out_channels * 4
+        hbm_frame = (2 * frame_size * 4      # audio in + out (f32)
+                     + 2 * z_bytes           # feature hand-off write + read
+                     + cache_bytes           # cache drain (write every frame)
+                     + 2 * n_params / (n_frames * 4))  # bf16 w / dispatch
+        detail["flops_per_frame"] = int(flops_frame)
+        detail["achieved_tflops_mega"] = round(flops_frame / t / 1e12, 2)
+        detail["mfu_pct_v5e_bf16_mega"] = round(
+            100.0 * flops_frame / t / V5E_PEAK_FLOPS, 2)
+        detail["hbm_bytes_per_frame"] = int(hbm_frame)
+        detail["hbm_gb_s"] = round(hbm_frame / t / 1e9, 2)
+
+    def leg_pqc():
+        # PQC (symAD) codec single-stream: the full encode->RVQ->decode
+        # chain through the same mega-kernel path (reference AudioDec v1
+        # runs this at ~74 ms per 25 ms frame on its laptop baseline).
+        from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
+
+        pqc_gen = AudioDecGenerator(use_pqc=True)
+        pqc_params, pqc_vq = pqc_gen.init(jax.random.PRNGKey(0))
+        S["pqc"] = (pqc_gen, pqc_params, pqc_vq)
+        pqc_init_cache, pqc_run = make_mega_stream(
+            pqc_gen, pqc_params, chunk=frame_size, vq_state=pqc_vq)
+
+        @jax.jit
+        def run_stream_pqc(cache, frames):
+            out, _, codes = pqc_run(cache, frames)
+            return jnp.sum(jnp.square(out)) + jnp.sum(codes)
+
+        t, spread = fit_n(run_stream_pqc, pqc_init_cache,
+                          lambda n: (n, frame_size), n_frames * 4)
+        detail["pqc_frame_us"] = round(t * 1e6, 2)
+        detail["pqc_frame_us_spread_pct"] = round(spread, 1)
+        detail["pqc_x_realtime"] = round(frame_time / t, 1)
+
+    def leg_streams16():
+        # multi-stream batching (XLA path; streams/chip metric). Swept
+        # on-chip 16..1024: per-stream time keeps improving to batch 128
+        # (MXU rows), then regresses — 128 is the serving sweet spot, 16
+        # kept for round-over-round continuity.
+        t, spread = fit_n(S["run_stream"], lambda: gen.init_cache(16),
+                          lambda n: (n, 16, frame_size, 1), 400)
+        detail["streams_16_frame_ms"] = round(t * 1e3, 3)
+        detail["streams_16_spread_pct"] = round(spread, 1)
+        detail["realtime_streams_per_chip_at_16"] = round(
+            frame_time / t * 16, 1)
+
+    def leg_streams128():
+        t, spread = fit_n(S["run_stream"], lambda: gen.init_cache(128),
+                          lambda n: (n, 128, frame_size, 1), 200)
+        detail["streams_128_frame_ms"] = round(t * 1e3, 3)
+        detail["streams_128_spread_pct"] = round(spread, 1)
+        detail["realtime_streams_per_chip_at_128"] = round(
+            frame_time / t * 128, 1)
+
+    def leg_latency_offline():
+        # single-dispatch end-to-end latency (incl. host round trip)
+        single = jax.jit(S["chunk_step"])
+        cache = gen.init_cache(1)
+        frame = dev_frames((1, frame_size, 1))
+        _, e = single(cache, frame)
+        _ = float(e)
+        lats = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            _, e = single(cache, frame)
+            _ = float(e)
+            lats.append(time.perf_counter() - t0)
+        detail["single_dispatch_latency_ms"] = round(
+            float(np.median(lats) * 1e3), 2)
+
+        # offline (parallel, non-streaming) denoise throughput: 16 x 2 s
+        # batch, K forwards scanned per dispatch (same RTT-cancelling fit)
+        def offline_scan(k):
+            @jax.jit
+            def run(xb):
+                def body(c, _):
+                    y = gen(params, None, xb + c * 1e-20, train=False)[0]
+                    return jnp.sum(jnp.square(y)) * 1e-20, None
+                s, _ = jax.lax.scan(body, 0.0, None, length=k)
+                return s
+            xb = dev_frames((16, 96000, 1))
+            _ = float(run(xb))
             best = float("inf")
-            for _ in range(trials):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                _ = float(run_stream_pqc(cache, frames))
+                _ = float(run(xb))
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        return (timed(n2) - timed(n1)) / (n2 - n1)
+        off_fits = [(offline_scan(8) - offline_scan(2)) / 6
+                    for _ in range(3)]
+        t_off, _ = median_spread(off_fits)
+        detail["offline_denoise_x_realtime"] = round((16 * 2.0) / t_off, 1)
 
-    t_pqc, spread_pqc = median_spread([fit_pqc_once() for _ in range(N_FITS)])
+    def leg_vocoder():
+        # vocoder receiver (AudioDec v1 pairing): Pallas pipeline vs XLA
+        from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+        from dl_speech_enhancement_tpu.ops.vocoder_kernel import (
+            make_mega_vocoder,
+        )
 
-    # multi-stream batching (XLA path; streams/chip metric). Swept on-chip
-    # 16..1024: per-stream time keeps improving to batch 128 (MXU rows),
-    # then regresses — 128 is the serving sweet spot, 16 kept for
-    # round-over-round continuity.
-    streams = 16
-    t_batch, spread_batch = measure(streams, "xla")
-    x_rt_per_stream = frame_time / t_batch
-    realtime_streams = x_rt_per_stream * streams
-    streams_hi = 128
-    t_batch_hi, spread_batch_hi = measure(streams_hi, "xla", n_hi=200)
-    realtime_streams_hi = frame_time / t_batch_hi * streams_hi
+        voc = HiFiGANGenerator(
+            in_channels=64, out_channels=1, channels=512, kernel_size=7,
+            upsample_scales=(5, 5, 4, 3), upsample_kernel_sizes=(10, 10, 8, 6),
+            resblock_kernel_sizes=(11,), resblock_dilations=((1, 3, 5),),
+            groups=3)
+        v_params = voc.init(jax.random.PRNGKey(1))
+        S["voc"] = (voc, v_params)
+        voc_z_rows = frame_size // voc.total_upsample
+        voc_init, voc_run = make_mega_vocoder(voc, v_params, frame_size)
 
-    # ---- vocoder receiver (AudioDec v1 pairing): Pallas pipeline vs XLA ----
-    # (round-2 headline was probe-only; captured by the driver from r3 on)
-    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
-    from dl_speech_enhancement_tpu.ops.vocoder_kernel import make_mega_vocoder
+        @jax.jit
+        def run_voc_mega(cache, z):
+            out, _ = voc_run(cache, z)
+            return jnp.sum(jnp.square(out))
 
-    voc = HiFiGANGenerator(
-        in_channels=64, out_channels=1, channels=512, kernel_size=7,
-        upsample_scales=(5, 5, 4, 3), upsample_kernel_sizes=(10, 10, 8, 6),
-        resblock_kernel_sizes=(11,), resblock_dilations=((1, 3, 5),),
-        groups=3)
-    v_params = voc.init(jax.random.PRNGKey(1))
-    voc_z_rows = frame_size // voc.total_upsample
-    voc_init, voc_run = make_mega_vocoder(voc, v_params, frame_size)
+        def voc_step(cache, z):
+            y, new_cache = voc.step(v_params, cache, z[None])
+            return new_cache, jnp.sum(jnp.square(y))
 
-    @jax.jit
-    def run_voc_mega(cache, z):
-        out, _ = voc_run(cache, z)
-        return jnp.sum(jnp.square(out))
+        @jax.jit
+        def run_voc_xla(cache, z):
+            cache, es = lax.scan(voc_step, cache, z)
+            return jnp.sum(es)
 
-    def voc_step(cache, z):
-        y, new_cache = voc.step(v_params, cache, z[None])
-        return new_cache, jnp.sum(jnp.square(y))
+        t_voc, spread_voc = fit_n(
+            run_voc_mega, voc_init, lambda n: (n, voc_z_rows, 64), 800)
+        t_voc_xla, spread_voc_xla = fit_n(
+            run_voc_xla, lambda: voc.init_cache(1),
+            lambda n: (n, voc_z_rows, 64), 400)
+        detail["vocoder_rx_pallas_us_frame"] = round(t_voc * 1e6, 2)
+        detail["vocoder_rx_pallas_spread_pct"] = round(spread_voc, 1)
+        detail["vocoder_rx_xla_us_frame"] = round(t_voc_xla * 1e6, 2)
+        detail["vocoder_rx_xla_spread_pct"] = round(spread_voc_xla, 1)
+        detail["vocoder_rx_x_realtime"] = round(
+            frame_time / min(t_voc, t_voc_xla), 1)
 
-    @jax.jit
-    def run_voc_xla(cache, z):
-        cache, es = lax.scan(voc_step, cache, z)
-        return jnp.sum(es)
+    def leg_paired():
+        # paired-preset fleet (symAD tx -> codes -> v1 vocoder rx), 16
+        # streams batched — the parallel/serve.py per-chip composition
+        pqc_gen, pqc_params, pqc_vq = S["pqc"]
+        voc, v_params = S["voc"]
+        flat_cb = pqc_gen.flat_codebook(pqc_vq)
 
-    def fit_voc_once(run, cache_fn, n_hi, trials=3):
-        n1, n2 = n_hi // 4, n_hi
+        def pair_step(cache, frame):
+            enc_cache, rx_cache = cache
+            z, enc_parts = pqc_gen.encode_step(pqc_params, enc_cache, frame)
+            enc_cache = dict(enc_cache)
+            enc_cache.update(enc_parts)
+            codes = pqc_gen.quantize(pqc_vq, z)
+            zq = pqc_gen.lookup(flat_cb, codes)
+            y, rx_cache = voc.step(v_params, rx_cache, zq)
+            return (enc_cache, rx_cache), jnp.sum(jnp.square(y))
 
-        def timed(n):
-            z = jax.device_put(
-                rng.standard_normal((n, voc_z_rows, 64)).astype(np.float32))
-            _ = float(run(cache_fn(), z))
-            best = float("inf")
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                _ = float(run(cache_fn(), z))
-                best = min(best, time.perf_counter() - t0)
-            return best
+        @jax.jit
+        def run_pair(cache, frames):
+            cache, es = lax.scan(pair_step, cache, frames)
+            return jnp.sum(es)
 
-        return (timed(n2) - timed(n1)) / (n2 - n1)
+        t, spread = fit_n(
+            run_pair,
+            lambda: (pqc_gen.init_cache(16), voc.init_cache(16)),
+            lambda n: (n, 16, frame_size, 1), 100)
+        detail["paired_v1_stream_ms_at_16"] = round(t * 1e3, 3)
+        detail["paired_v1_spread_pct_at_16"] = round(spread, 1)
+        detail["paired_v1_streams_per_chip_at_16"] = round(
+            frame_time / t * 16, 1)
 
-    t_voc, spread_voc = median_spread(
-        [fit_voc_once(run_voc_mega, voc_init, 800) for _ in range(3)])
-    t_voc_xla, spread_voc_xla = median_spread(
-        [fit_voc_once(run_voc_xla, lambda: voc.init_cache(1), 400)
-         for _ in range(3)])
+    def leg_frame600():
+        # frame 600 (12.5 ms): the hop-aligned streaming point nearest the
+        # reference's 512-sample (10.67 ms) window, with the honest
+        # encode/decode split (poster Table 2 presentation)
+        f600 = 600
+        chunk_step = S["chunk_step"]
 
-    # ---- paired-preset fleet (symAD tx -> codes -> v1 vocoder rx),
-    # 16 streams batched, the parallel/serve.py per-chip composition ----
-    flat_cb = pqc_gen.flat_codebook(pqc_vq)
+        def chunk_step_enc(cache, x):
+            z, enc_cache = gen.encode_step(params, cache, x)
+            new_cache = dict(cache)
+            new_cache.update(enc_cache)
+            return new_cache, jnp.sum(jnp.square(z))
 
-    def pair_step(cache, frame):
-        enc_cache, rx_cache = cache
-        z, enc_parts = pqc_gen.encode_step(pqc_params, enc_cache, frame)
-        enc_cache = dict(enc_cache)
-        enc_cache.update(enc_parts)
-        codes = pqc_gen.quantize(pqc_vq, z)
-        zq = pqc_gen.lookup(flat_cb, codes)
-        y, rx_cache = voc.step(v_params, rx_cache, zq)
-        return (enc_cache, rx_cache), jnp.sum(jnp.square(y))
+        @jax.jit
+        def run_enc(cache, frames):
+            cache, es = lax.scan(chunk_step_enc, cache, frames)
+            return jnp.sum(es)
 
-    @jax.jit
-    def run_pair(cache, frames):
-        cache, es = lax.scan(pair_step, cache, frames)
-        return jnp.sum(es)
+        @jax.jit
+        def run_full(cache, frames):
+            cache, es = lax.scan(chunk_step, cache, frames)
+            return jnp.sum(es)
 
-    def fit_pair_once(b, n_hi=100, trials=3):
-        n1, n2 = n_hi // 4, n_hi
+        t_600, spread_600 = fit_n(run_full, lambda: gen.init_cache(1),
+                                  lambda n: (n, 1, f600, 1), n_frames)
+        t_600_enc, _ = fit_n(run_enc, lambda: gen.init_cache(1),
+                             lambda n: (n, 1, f600, 1), n_frames)
+        detail["frame600_us"] = round(t_600 * 1e6, 2)
+        detail["frame600_spread_pct"] = round(spread_600, 1)
+        detail["frame600_x_realtime"] = round(f600 / sample_rate / t_600, 1)
+        detail["frame600_enc_us"] = round(t_600_enc * 1e6, 2)
+        detail["frame600_dec_us"] = round(max(t_600 - t_600_enc, 0.0) * 1e6,
+                                          2)
 
-        def timed(n):
-            cache = (pqc_gen.init_cache(b), voc.init_cache(b))
-            frames = jax.device_put(
-                rng.standard_normal((n, b, frame_size, 1)).astype(np.float32))
-            _ = float(run_pair(cache, frames))
-            best = float("inf")
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                _ = float(run_pair(cache, frames))
-                best = min(best, time.perf_counter() - t0)
-            return best
+    def leg_train():
+        # training throughput: full adversarial course step (G then D),
+        # 16 x 1 s, per-step device time via RTT-subtracted value-fenced
+        # walls (tools/train_bench.py methodology; queue depth 1 — deep
+        # donated-step queues wedge the tunneled backend)
+        from dl_speech_enhancement_tpu.models import HiFiGANDiscriminator
+        from dl_speech_enhancement_tpu.train.denoise_course import (
+            make_course_steps,
+        )
+        from dl_speech_enhancement_tpu.train.optim import build_optimizer
 
-        return (timed(n2) - timed(n1)) / (n2 - n1)
-
-    t_pair16, spread_pair16 = median_spread(
-        [fit_pair_once(16) for _ in range(3)])
-    pair_streams_16 = frame_time / t_pair16 * 16
-
-    # ---- reference operating point: frame 512 (10.67 ms), single stream,
-    # with the honest encode/decode split (poster Table 2 presentation) ----
-    f512 = 600  # 12.5 ms: the hop-aligned frame nearest the reference's
-    #             512-sample (10.67 ms) streaming window (hop 300 divides it)
-    def chunk_step_512_enc(cache, x):
-        z, enc_cache = gen.encode_step(params, cache, x)
-        new_cache = dict(cache)
-        new_cache.update(enc_cache)
-        return new_cache, jnp.sum(jnp.square(z))
-
-    @jax.jit
-    def run_enc_512(cache, frames):
-        cache, es = lax.scan(chunk_step_512_enc, cache, frames)
-        return jnp.sum(es)
-
-    @jax.jit
-    def run_full_512(cache, frames):
-        cache, es = lax.scan(chunk_step, cache, frames)
-        return jnp.sum(es)
-
-    def fit_512_once(run, n_hi=1600, trials=3):
-        n1, n2 = n_hi // 4, n_hi
-
-        def timed(n):
-            cache = gen.init_cache(1)
-            frames = jax.device_put(
-                rng.standard_normal((n, 1, f512, 1)).astype(np.float32))
-            _ = float(run(cache, frames))
-            best = float("inf")
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                _ = float(run(cache, frames))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        return (timed(n2) - timed(n1)) / (n2 - n1)
-
-    t_512, spread_512 = median_spread(
-        [fit_512_once(run_full_512) for _ in range(3)])
-    t_512_enc, _ = median_spread(
-        [fit_512_once(run_enc_512) for _ in range(3)])
-    t_512_dec = max(t_512 - t_512_enc, 0.0)
-
-    # ---- training throughput: full adversarial course step (G then D),
-    # B x 1 s, per-step device time via RTT-subtracted value-fenced walls
-    # (tools/train_bench.py methodology; queue depth 1 — deep donated-step
-    # queues wedge the tunneled backend) ----
-    from dl_speech_enhancement_tpu.models import HiFiGANDiscriminator
-    from dl_speech_enhancement_tpu.train.denoise_course import make_course_steps
-    from dl_speech_enhancement_tpu.train.optim import build_optimizer
-
-    def train_leg(B, remat):
-        tg = AudioDecGenerator(use_pqc=False, remat=remat)
+        B = 16
+        tg = AudioDecGenerator(use_pqc=False)
         seg = 48000 // tg.hop * tg.hop
         tcfg = dict(
             mel_loss_params=dict(fs=48000, fft_sizes=[2048], hop_sizes=[300],
@@ -370,7 +424,7 @@ def main():
             lambda_feat_match=2.0,
             generator_adv_loss_params={"average_by_discriminators": False},
             discriminator_adv_loss_params={"average_by_discriminators": False},
-            discriminator_remat=remat,
+            discriminator_remat=False,
         )
         disc = HiFiGANDiscriminator()
         kg, kd = jax.random.split(jax.random.PRNGKey(0))
@@ -400,111 +454,81 @@ def main():
             pass
         z = jax.device_put(jnp.zeros(()))
         rtts = []
-        for _ in range(10):
+        for _ in range(6):
             t0 = time.perf_counter()
             _ = float(z + 1.0)
             rtts.append(time.perf_counter() - t0)
         rtt = float(np.median(rtts))
         walls = []
-        for _ in range(12):
+        for _ in range(6):
             t0 = time.perf_counter()
             st, g, d, _, _ = stepfn(st, x, y)
             _ = float(g)
             walls.append(time.perf_counter() - t0)
         dev = float(np.median(walls)) - rtt
-        audio_s = B * seg / 48000 / dev
-        mfu = (100.0 * step_flops / dev / V5E_PEAK_FLOPS
-               if step_flops else None)
+        detail["train_audio_s_per_s_b16"] = round(B * seg / 48000 / dev, 1)
+        detail["train_step_ms_b16"] = round(dev * 1e3, 1)
+        detail["train_mfu_pct_v5e_bf16_b16"] = (
+            round(100.0 * step_flops / dev / V5E_PEAK_FLOPS, 2)
+            if step_flops else None)
         del st, x, y
-        return audio_s, mfu, dev
 
-    train_audio_16, train_mfu_16, train_dev_16 = train_leg(16, False)
+    # priority order: round-2 headline legs first (the driver's
+    # round-over-round continuity), then the round-3 additions. Cost
+    # estimates are warm-cache leg walls + compile slack; a leg only
+    # starts if the estimate fits the remaining budget.
+    legs = [
+        ("xla_single", 60, leg_xla_single),
+        ("mega_single", 90, leg_mega_single),
+        ("pqc", 90, leg_pqc),
+        ("streams_16", 40, leg_streams16),
+        ("streams_128", 40, leg_streams128),
+        ("latency_offline", 40, leg_latency_offline),
+        ("vocoder_rx", 90, leg_vocoder),
+        ("paired_v1", 60, leg_paired),
+        ("frame600", 60, leg_frame600),
+        ("train_b16", 120, leg_train),
+    ]
+    required = {"xla_single"}  # the headline fallback always runs
+    deps = {"streams_16": {"xla_single"}, "streams_128": {"xla_single"},
+            "latency_offline": {"xla_single"},
+            "frame600": {"xla_single"},
+            "paired_v1": {"pqc", "vocoder_rx"}}
 
-    # single-dispatch end-to-end latency (incl. host round trip): one frame
-    single = jax.jit(chunk_step)
-    cache = gen.init_cache(1)
-    frame = jax.device_put(
-        rng.standard_normal((1, frame_size, 1)).astype(np.float32))
-    _, e = single(cache, frame)
-    _ = float(e)
-    lats = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        _, e = single(cache, frame)
-        _ = float(e)
-        lats.append(time.perf_counter() - t0)
-    dispatch_latency_ms = float(np.median(lats) * 1e3)
+    done = set()
+    for name, est, fn in legs:
+        missing = deps.get(name, set()) - done
+        if missing:
+            legs_report[name] = {"status": f"skipped_deps:{sorted(missing)}"}
+            continue
+        if name not in required and remaining() < est:
+            legs_report[name] = {"status": "skipped_budget",
+                                 "remaining_s": round(remaining(), 1)}
+            continue
+        t0 = time.time()
+        try:
+            fn()
+            legs_report[name] = {"status": "ok",
+                                 "s": round(time.time() - t0, 1)}
+            done.add(name)
+        except Exception as e:  # noqa: BLE001 — a failed leg must not
+            # forfeit the legs that already ran or the JSON line itself
+            legs_report[name] = {"status": f"error:{type(e).__name__}: {e}"
+                                 [:200],
+                                 "s": round(time.time() - t0, 1)}
+        _dev_cache.clear()
 
-    # offline (parallel, non-streaming) denoise throughput: 16 x 2 s batch,
-    # K forwards scanned per dispatch (same RTT-cancelling two-point fit)
-    def offline_scan(k):
-        @jax.jit
-        def run(xb):
-            def body(c, _):
-                y = gen(params, None, xb + c * 1e-20, train=False)[0]
-                return jnp.sum(jnp.square(y)) * 1e-20, None
-            s, _ = jax.lax.scan(body, 0.0, None, length=k)
-            return s
-        xb = jax.device_put(
-            rng.standard_normal((16, 96000, 1)).astype(np.float32))
-        _ = float(run(xb))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(run(xb))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    detail["legs"] = legs_report
+    detail["elapsed_s"] = round(time.time() - T0, 1)
 
-    off_fits = [(offline_scan(8) - offline_scan(2)) / 6 for _ in range(3)]
-    t_off, _ = median_spread(off_fits)
-    offline_x_rt = (16 * 2.0) / t_off
-
+    t_candidates = [S[k] for k in ("t_xla", "t_mega") if k in S]
+    x_rt_single = (frame_time / min(t_candidates)) if t_candidates else None
     result = {
         "metric": "streaming_denoise_x_realtime_48k",
-        "value": round(x_rt_single, 2),
+        "value": round(x_rt_single, 2) if x_rt_single else None,
         "unit": "x_realtime_per_stream",
-        "vs_baseline": round(x_rt_single / 1.0, 2),
-        "detail": {
-            "frame_us_mega": round(t_mega * 1e6, 2),
-            "frame_us_mega_spread_pct": round(spread_mega, 1),
-            "frame_us_xla": round(t_xla * 1e6, 2),
-            "frame_us_xla_spread_pct": round(spread_xla, 1),
-            "n_fits": N_FITS,
-            "frame_size": frame_size,
-            "flops_per_frame": int(flops_frame),
-            "achieved_tflops_mega": round(tflops, 2),
-            "mfu_pct_v5e_bf16_mega": round(mfu_pct, 2),
-            "hbm_bytes_per_frame": int(hbm_frame),
-            "hbm_gb_s": round(hbm_gb_s, 2),
-            "streams_16_frame_ms": round(t_batch * 1e3, 3),
-            "streams_16_spread_pct": round(spread_batch, 1),
-            "realtime_streams_per_chip_at_16": round(realtime_streams, 1),
-            "streams_128_frame_ms": round(t_batch_hi * 1e3, 3),
-            "streams_128_spread_pct": round(spread_batch_hi, 1),
-            "realtime_streams_per_chip_at_128": round(realtime_streams_hi, 1),
-            "pqc_frame_us": round(t_pqc * 1e6, 2),
-            "pqc_frame_us_spread_pct": round(spread_pqc, 1),
-            "pqc_x_realtime": round(frame_time / t_pqc, 1),
-            "offline_denoise_x_realtime": round(offline_x_rt, 1),
-            "single_dispatch_latency_ms": round(dispatch_latency_ms, 2),
-            "vocoder_rx_pallas_us_frame": round(t_voc * 1e6, 2),
-            "vocoder_rx_pallas_spread_pct": round(spread_voc, 1),
-            "vocoder_rx_xla_us_frame": round(t_voc_xla * 1e6, 2),
-            "vocoder_rx_xla_spread_pct": round(spread_voc_xla, 1),
-            "vocoder_rx_x_realtime": round(frame_time / min(t_voc, t_voc_xla), 1),
-            "paired_v1_stream_ms_at_16": round(t_pair16 * 1e3, 3),
-            "paired_v1_spread_pct_at_16": round(spread_pair16, 1),
-            "paired_v1_streams_per_chip_at_16": round(pair_streams_16, 1),
-            "frame600_us": round(t_512 * 1e6, 2),
-            "frame600_spread_pct": round(spread_512, 1),
-            "frame600_x_realtime": round(f512 / sample_rate / t_512, 1),
-            "frame600_enc_us": round(t_512_enc * 1e6, 2),
-            "frame600_dec_us": round(t_512_dec * 1e6, 2),
-            "train_audio_s_per_s_b16": round(train_audio_16, 1),
-            "train_step_ms_b16": round(train_dev_16 * 1e3, 1),
-            "train_mfu_pct_v5e_bf16_b16": (round(train_mfu_16, 2)
-                                           if train_mfu_16 else None),
-        },
+        "vs_baseline": round(x_rt_single / 1.0, 2) if x_rt_single else None,
+        "detail": detail,
     }
     print(json.dumps(result))
 

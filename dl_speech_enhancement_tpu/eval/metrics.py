@@ -209,7 +209,10 @@ def si_sdr_best_lag(preds: np.ndarray, target: np.ndarray,
     c = np.fft.irfft(E * np.conj(R), nfft)
     lags = np.concatenate([np.arange(0, max_lag + 1),
                            np.arange(-max_lag, 0)])
-    vals = np.concatenate([c[: max_lag + 1], c[-max_lag:]])
+    # NB: c[-0:] would be the WHOLE array, so the negative-lag slice must
+    # be empty when max_lag clamps to 0 (single-sample inputs)
+    neg = c[-max_lag:] if max_lag > 0 else c[:0]
+    vals = np.concatenate([c[: max_lag + 1], neg])
     lag = int(lags[np.argmax(np.abs(vals))])
     if lag >= 0:
         e2, r2 = est[lag:], ref[: n - lag]

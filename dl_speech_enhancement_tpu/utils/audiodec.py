@@ -99,9 +99,12 @@ def load_pair_models(model: str, exp_root: str = "exp"):
 
     Returns a dict with ``sample_rate`` plus the tx codec
     (``gen``/``params``/``vq_state``) and — for asymmetric presets — the
-    receiver: ``vocoder``/``vocoder_params`` (v0-v3 presets) or
-    ``rx_gen``/``rx_params``/``rx_vq_state`` (denoise preset). Symmetric
-    presets carry only the tx codec. The receiver keys line up with
+    receiver: ``vocoder``/``vocoder_params`` (v0-v3 and denoise presets) or
+    ``rx_gen``/``rx_params``/``rx_vq_state`` (the mismatched-checkpoint
+    extension mode — reached when an rx checkpoint names a codec rather
+    than a vocoder; no named preset maps there since vctk_denoise was
+    re-paired onto the vocoder rx). Symmetric presets carry only the tx
+    codec. The receiver keys line up with
     ``parallel.serve.make_sharded_stream``'s keyword arguments so fleets
     can be built directly from a preset name."""
     import jax as _jax

@@ -100,7 +100,7 @@ def test_audiodec_facade_and_model_zoo(tiny_ckpt, tmp_path, rng):
         rng.standard_normal((1, 24 * 4, 1)).astype(np.float32)))
     assert out.shape[1] >= 24 * 3
 
-    # preset table: all 9 names resolve, unknown raises
+    # preset table: all 10 names resolve, unknown raises
     for name in ("libritts_v1", "libritts_sym", "vctk_v0", "vctk_v1",
                  "vctk_v2", "vctk_sym", "vctk_univ", "vctk_v3",
                  "vctk_univ_sym", "vctk_denoise"):

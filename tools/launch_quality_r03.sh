@@ -14,7 +14,7 @@ CMD=(python tools/quality_run.py --steps "$STEPS" --disc-at 4000
      --auto-resume --out "$OUT")
 nohup "${CMD[@]}" >> "$OUT/train.log" 2>&1 &
 echo $! > /tmp/q3.pid
-nohup bash tools/run_watchdog.sh "$OUT/train.log" /tmp/q3.pid 1500 -- \
+nohup bash tools/run_watchdog.sh "$OUT/train.log" /tmp/q3.pid 1800 -- \
     "${CMD[@]}" > /tmp/q3_watchdog.log 2>&1 &
 echo $! > /tmp/q3_watchdog.pid
 echo "trainer $(cat /tmp/q3.pid) watchdog $(cat /tmp/q3_watchdog.pid)"
