@@ -254,6 +254,31 @@ def main():
         detail["realtime_streams_per_chip_at_128"] = round(
             frame_time / t * 128, 1)
 
+    def leg_stacked16():
+        # stacked-region batched mega kernel (ops/mega_stacked.py): 16
+        # streams stacked along sublanes, VMEM-packed segment pipeline,
+        # chunk 300 (the hop) per grid step. Competes with the XLA batch
+        # path for the streams/chip metric.
+        from dl_speech_enhancement_tpu.ops.mega_stacked import (
+            make_mega_stream_stacked,
+        )
+
+        B, ck = 16, 300
+        stk_init, stk_run = make_mega_stream_stacked(gen, params, ck, B)
+
+        @jax.jit
+        def run_stk(cache, frames):
+            out, _ = stk_run(cache, frames)
+            return jnp.sum(jnp.square(out))
+
+        t, spread = fit_n(run_stk, stk_init, lambda n: (n, B, ck), 1600)
+        # per 25 ms (1200-sample) frame per stream, for apples-to-apples
+        us_sf = t / B * (1200 / ck) * 1e6
+        detail["stacked_16_us_frame_per_stream"] = round(us_sf, 2)
+        detail["stacked_16_spread_pct"] = round(spread, 1)
+        detail["realtime_streams_per_chip_stacked_16"] = round(
+            (ck / sample_rate) / t * B, 1)
+
     def leg_latency_offline():
         # single-dispatch end-to-end latency (incl. host round trip)
         single = jax.jit(S["chunk_step"])
@@ -483,6 +508,7 @@ def main():
         ("pqc", 90, leg_pqc),
         ("streams_16", 40, leg_streams16),
         ("streams_128", 40, leg_streams128),
+        ("stacked_16", 60, leg_stacked16),
         ("latency_offline", 40, leg_latency_offline),
         ("vocoder_rx", 90, leg_vocoder),
         ("paired_v1", 60, leg_paired),

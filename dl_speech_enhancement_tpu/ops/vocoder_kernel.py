@@ -372,8 +372,9 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         For groups*c within a lane-tile multiple this trades a little
         block-diag zero-padding FLOP for a ``groups``-fold cut in matmul
         issues and cache sites — the deep 1200-row stages of the v1 preset
-        are issue-bound on 32-lane (pad-128) operands, so the stage-3 cut
-        (198 -> 66 matmuls) is pure win (measured: see docs/SCALING.md)."""
+        are issue-bound on 32-lane (pad-128) operands, so packing cuts
+        stage 3 from 198 to 66 matmul issues. On-chip on/off A/B:
+        docs/SCALING.md "Group-pack A/B" table (round 4)."""
         gc = groups * c
         k1, d1 = conv1.kernel_size, conv1.dilation
         pad1 = (k1 - 1) * d1

@@ -243,7 +243,11 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     covers the PQC codec too (in-kernel projector + residual-VQ wire
     indices + lookup); without it, the per-frame fused residual-chain
     kernels (ops/stream_kernel.py) still give ~1.2-1.7x over XLA for the
-    without-PQC case.
+    without-PQC case. For ``batch > 1`` with ``frame_size``,
+    ``backend='pallas'`` uses the stacked-region batched mega kernel
+    (ops/mega_stacked.py — B streams stacked along the sublane axis,
+    VMEM-packed segment pipeline); 'auto' keeps the XLA scan for
+    batch > 1 pending the on-chip A/B in docs/SCALING.md.
 
     ``weight_dtype`` is forwarded to the mega kernel (default bf16 —
     halves VMEM weight residency). For a PQC transmitter that must emit
@@ -284,6 +288,32 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
 
                 run_mega.init_cache = init_mega
                 return run_mega
+    if (backend == "pallas" and batch > 1 and not gen.use_pqc
+            and frame_size is not None):
+        # multi-stream: the stacked-region batched mega kernel
+        # (ops/mega_stacked.py) — B streams stacked along sublanes, one
+        # VMEM-packed segment pipeline. Explicit 'pallas' only for now;
+        # 'auto' keeps the XLA scan for batch > 1 until the on-chip A/B
+        # (docs/SCALING.md round-4 table) settles the default.
+        try:
+            from dl_speech_enhancement_tpu.ops.mega_stacked import (
+                make_mega_stream_stacked,
+            )
+            stk_kw = ({} if weight_dtype is None
+                      else {"weight_dtype": weight_dtype})
+            init_stk, stk_run = make_mega_stream_stacked(
+                gen, jax.device_put(params), chunk=frame_size, batch=batch,
+                interpret=interpret, **stk_kw)
+        except AssertionError:  # topology the kernel doesn't cover
+            init_stk = None
+        if init_stk is not None:
+            @jax.jit
+            def run_stacked(cache, frames):
+                out, new_cache = stk_run(cache, frames[:, :, :, 0])
+                return out[:, :, :, None], new_cache
+
+            run_stacked.init_cache = init_stk
+            return run_stacked
     if backend == "pallas" and not gen.use_pqc and batch == 1:
         from dl_speech_enhancement_tpu.ops.stream_kernel import (
             make_fused_chunk_step,

@@ -71,6 +71,26 @@ def test_mega_stacked_cache_continues_across_dispatches(rng):
             [np.asarray(first), np.asarray(second)]), atol=2e-5)
 
 
+def test_scan_stream_routes_batched_pallas(rng):
+    """make_scan_stream(backend='pallas', batch>1) must route to the
+    stacked kernel and match the XLA backend bit-for-bit semantics."""
+    from dl_speech_enhancement_tpu.stream import make_scan_stream
+
+    gen = _small_gen()
+    params, _ = gen.init(jax.random.PRNGKey(3))
+    chunk = gen.hop * 2
+    B = 2
+    run_p = make_scan_stream(gen, params, batch=B, backend="pallas",
+                             frame_size=chunk, interpret=True,
+                             weight_dtype=jnp.float32)
+    run_x = make_scan_stream(gen, params, batch=B, backend="xla")
+    frames = rng.standard_normal((3, B, chunk, 1)).astype(np.float32) * 0.3
+    yp, _ = run_p(run_p.init_cache(), jnp.asarray(frames))
+    yx, _ = run_x(gen.init_cache(B), jnp.asarray(frames))
+    assert yp.shape == yx.shape == frames.shape
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=2e-5)
+
+
 def test_mega_stacked_flagship_topology(rng):
     """The real flagship (32..512 channels, strides 3/4/5/5) — the
     topology the bench measures; one frame, 2 streams, vs the XLA step."""

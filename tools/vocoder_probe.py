@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--n-frames", type=int, default=400)
     ap.add_argument("--fits", type=int, default=5)
     ap.add_argument("--skip-chain", action="store_true")
+    ap.add_argument("--group-pack-max-lanes", type=int, default=128,
+                    help="0 disables MultiGroupConv1d group packing "
+                    "(the on/off A/B for docs/SCALING.md)")
     args = ap.parse_args()
 
     import jax
@@ -66,8 +69,10 @@ def main():
     rng = np.random.default_rng(0)
 
     init_cache, mega_run = make_mega_vocoder(
-        voc, params, chunk, weight_dtype=wd, seg_budget_bytes=args.budget)
-    print(f"segments: {mega_run.num_segments}")
+        voc, params, chunk, weight_dtype=wd, seg_budget_bytes=args.budget,
+        group_pack_max_lanes=args.group_pack_max_lanes)
+    print(f"segments: {mega_run.num_segments} "
+          f"(group_pack_max_lanes={args.group_pack_max_lanes})")
 
     # ---- equivalence on a short stream ----
     zq_np = rng.standard_normal((8, z_rows, 64)).astype(np.float32)
