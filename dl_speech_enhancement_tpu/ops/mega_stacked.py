@@ -120,14 +120,19 @@ class _Stage:
     and a ``body(C, site, h, stride, off) -> (h, stride, off)`` that
     transforms the stacked activation value inside the kernel. ``h`` is
     dense-garbage-aware: regions of length ``stride`` with valid rows
-    ``[off, off + rows)`` per stream."""
+    ``[off, off + rows)`` per stream. ``force_break`` ends the segment
+    after this stage (the PQC wire-code boundary); ``out_dtype`` is the
+    dense inter-segment dtype if this stage ends a segment."""
 
-    def __init__(self, name, out_rows, out_lanes):
+    def __init__(self, name, out_rows, out_lanes, out_dtype=jnp.float32,
+                 force_break=False):
         self.name = name
         self.consts = []   # (name, array)
         self.sites = []    # (name, ctx, lanes, rows)
         self.out_rows = out_rows
         self.out_lanes = out_lanes
+        self.out_dtype = out_dtype
+        self.force_break = force_break
         self.body = None
 
     def add_const(self, name, arr):
@@ -152,24 +157,35 @@ class _Stage:
 def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
                              weight_dtype=jnp.bfloat16,
                              interpret: bool = False,
-                             vmem_budget: int = 12 * 2**20):
+                             vmem_budget: int = 12 * 2**20,
+                             vq_state=None):
     """Build the stacked-region batched streaming pipeline.
 
     Returns ``(init_cache, run)``: ``init_cache() -> {name: (B*ctx,
-    lanes) f32}``; ``run(cache, frames (N, B, chunk)) -> (out
-    (N, B, chunk), new_cache)``. Per-frame semantics per stream match
-    ``gen.encode_step`` + ``gen.decode_step`` from zero caches.
-    ``vmem_budget`` is the per-kernel packing budget; stages that exceed
-    it alone still get their own kernel.
+    lanes) f32}``; without PQC ``run(cache, frames (N, B, chunk)) ->
+    (out (N, B, chunk), new_cache)``; with PQC (pass ``vq_state``)
+    ``run`` additionally returns ``codes (N, B, chunk/hop,
+    codebook_num) int32`` — the flattened tx wire indices (reference
+    utils/audiodec.py:96-103) — and the in-kernel pipeline includes the
+    projector conv, the residual-VQ nearest-codeword assignment (f32
+    distances, lowest-index tie-break like jnp.argmin / vq_module.py),
+    the codebook lookup, and the decoder input conv, with the int32
+    code stream as a forced segment boundary. Per-frame semantics per
+    stream match ``gen.encode_step`` (+ ``quantize``/``lookup``) +
+    ``gen.decode_step`` from zero caches. ``vmem_budget`` is the
+    per-kernel packing budget; stages that exceed it alone still get
+    their own kernel.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert gen.mode == "causal"
     assert gen.input_channels == 1
-    assert not gen.use_pqc, "stacked kernel covers the without-PQC family"
     assert chunk % gen.hop == 0 and chunk > 0
     assert batch >= 1
+    use_pqc = gen.use_pqc
+    if use_pqc:
+        assert vq_state is not None, "PQC stacked kernel needs the VQ state"
     bsz = batch
     wd = weight_dtype
 
@@ -312,9 +328,88 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
         t_rows = t_out
     z_rows = t_rows
 
+    # ---------------- PQC: projector + residual VQ / lookup + conv1 ----
+    if use_pqc:
+        pr = gen.projector.conv
+        assert pr.stride == 1 and pr.dilation == 1
+        w_pr = np.asarray(pr.weight(params["projector"]["conv"]))
+        k_pr = w_pr.shape[0]
+        embed = np.asarray(vq_state.embed)  # (L, D, K)
+        n_books, code_dim, book_k = embed.shape
+        st = _Stage("pq", z_rows, n_books, out_dtype=jnp.int32,
+                    force_break=True)
+        st.add_const("prW", w_pr.astype(wd))
+        for l in range(n_books):
+            st.add_const(f"vqE{l}", embed[l].astype(np.float32))
+            st.add_const(f"vqN{l}", np.sum(embed[l] ** 2, axis=0,
+                                           keepdims=True).astype(np.float32))
+            st.add_const(f"vqT{l}", embed[l].T.astype(np.float32))
+        st.add_site("prjs", k_pr - 1, enc.out_channels, z_rows)
+
+        def pq_body(C, site, h, stride, off):
+            import jax.lax as lax
+            v = site("prjs", h, stride, off)
+            vw = v.astype(wd)
+            Lp = (k_pr - 1) + z_rows
+            rn = bsz * Lp - (k_pr - 1)
+            z = dot(vw[0:rn], C["prW"][0])
+            for j in range(1, k_pr):
+                z += dot(vw[j : j + rn], C["prW"][j])
+            # residual VQ on all rows (garbage rows -> garbage codes,
+            # confined to each region's tail like every other stage)
+            residual = z
+            lane = lax.broadcasted_iota(jnp.int32, (rn, book_k), 1)
+            cols = []
+            for l in range(n_books):
+                e_l = C[f"vqE{l}"][...]
+                dist = (jnp.sum(jnp.square(residual), axis=1, keepdims=True)
+                        - 2.0 * dot(residual, e_l) + C[f"vqN{l}"][...])
+                m = jnp.min(dist, axis=1, keepdims=True)
+                ind = jnp.min(jnp.where(dist <= m, lane, book_k), axis=1)
+                onehot = (lane == ind[:, None]).astype(jnp.float32)
+                residual = residual - dot(onehot, C[f"vqT{l}"][...])
+                cols.append((ind + l * book_k)[:, None])
+            return jnp.concatenate(cols, axis=1), Lp, 0
+
+        st.body = pq_body
+        stages.append(st)
+
+        d1 = dec.conv1
+        assert d1.stride == 1 and d1.dilation == 1
+        w_d1 = np.asarray(d1.weight(dec_p["conv1"]))
+        k_d1 = w_d1.shape[0]
+        st = _Stage("lk", z_rows, dec.blocks[0].conv.in_channels)
+        for l in range(n_books):
+            st.add_const(f"cbk{l}", embed[l].T.astype(np.float32))  # (K, D)
+        st.add_const("dc1W", w_d1.astype(wd))
+        st.add_site("dc1s", k_d1 - 1, code_dim, z_rows)
+
+        def lk_body(C, site, h, stride, off):
+            import jax.lax as lax
+            # h: dense int32 codes (B*z_rows, n_books)
+            rn = h.shape[0]
+            lane = lax.broadcasted_iota(jnp.int32, (rn, book_k), 1)
+            zq = None
+            for l in range(n_books):
+                ind = h[:, l] - l * book_k
+                onehot = (lane == ind[:, None]).astype(jnp.float32)
+                q = dot(onehot, C[f"cbk{l}"][...])
+                zq = q if zq is None else zq + q
+            v = site("dc1s", zq, stride, off)
+            vw = v.astype(wd)
+            Ld1 = (k_d1 - 1) + z_rows
+            rn2 = bsz * Ld1 - (k_d1 - 1)
+            g = dot(vw[0:rn2], C["dc1W"][0])
+            for j in range(1, k_d1):
+                g += dot(vw[j : j + rn2], C["dc1W"][j])
+            return g, Ld1, 0
+
+        st.body = lk_body
+        stages.append(st)
+
     # ---------------- decoder block stages ----------------
     n_blocks = len(dec.blocks)
-    prev_cout_p = enc.out_channels
+    prev_cout_p = dec.blocks[0].conv.in_channels
     for bi, blk in enumerate(dec.blocks):
         bp = dec_p["blocks"][bi]
         s = blk.conv.stride
@@ -399,13 +494,16 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
             cur, cur_cost = [], 0
         cur.append(stg)
         cur_cost += c
+        if stg.force_break:
+            segments.append(cur)
+            cur, cur_cost = [], 0
     if cur:
         segments.append(cur)
 
     # ---------------- one pallas_call per segment ----------------
     all_sites = [site for stg in stages for site in stg.sites]
 
-    def build_segment(seg_stages, in_rows, in_lanes):
+    def build_segment(seg_stages, in_rows, in_lanes, in_dtype):
         bag = _Bag()
         sites = []
         for stg in seg_stages:
@@ -416,6 +514,7 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
         n_c, n_s = len(bag.arrays), len(sites)
         o_rows = seg_stages[-1].out_rows
         o_lanes = seg_stages[-1].out_lanes
+        o_dtype = seg_stages[-1].out_dtype
         geom = {n: (ctx, lanes, rows) for n, ctx, lanes, rows in sites}
 
         def kernel(*refs):
@@ -457,7 +556,9 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
                     CO[name][b * ctx : (b + 1) * ctx] = tail
                 return v
 
-            h = x_ref[0].astype(jnp.float32)
+            h = x_ref[0]
+            if in_dtype == jnp.float32:
+                h = h.astype(jnp.float32)
             stride, off = in_rows, 0
             for stg in seg_stages:
                 h, stride, off = stg.body(C, site, h, stride, off)
@@ -479,27 +580,27 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
                                          lambda i: (i, 0, 0))]
                            + [vmem] * n_s),
                 out_shape=([jax.ShapeDtypeStruct((n, bsz * o_rows, o_lanes),
-                                                 jnp.float32)]
+                                                 o_dtype)]
                            + [jax.ShapeDtypeStruct((bsz * ctx, lanes),
                                                    jnp.float32)
                               for _, ctx, lanes, _ in sites]),
                 scratch_shapes=(
                     [pltpu.VMEM((bsz * (ctx + rows), lanes), jnp.float32)
                      for _, ctx, lanes, rows in sites]
-                    + [pltpu.VMEM((bsz * o_rows, o_lanes), jnp.float32)]),
+                    + [pltpu.VMEM((bsz * o_rows, o_lanes), o_dtype)]),
                 interpret=interpret,
             )(x, *bag.arrays, *[cache[nm] for nm in site_names])
             out, *new = outs
             return out, dict(zip(site_names, new))
 
-        return call, o_rows, o_lanes
+        return call, o_rows, o_lanes, o_dtype
 
     seg_calls = []
-    in_rows, in_lanes = rows0, fold
+    in_rows, in_lanes, in_dtype = rows0, fold, jnp.float32
     for seg_stages in segments:
-        call, in_rows, in_lanes = build_segment(seg_stages, in_rows,
-                                                in_lanes)
-        seg_calls.append(call)
+        call, in_rows, in_lanes, in_dtype = build_segment(
+            seg_stages, in_rows, in_lanes, in_dtype)
+        seg_calls.append((call, in_dtype))
 
     # ---------------- wrappers ----------------
     def init_cache():
@@ -511,10 +612,15 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
         assert t == chunk and b == bsz, (frames.shape, bsz, chunk)
         h = frames.reshape(n, bsz * rows0, fold)
         new_cache = {}
-        for call in seg_calls:
+        codes = None
+        for call, o_dtype in seg_calls:
             h, upd = call(h, cache, n)
             new_cache.update(upd)
+            if o_dtype == jnp.int32:  # the PQC wire-code boundary
+                codes = h
         out = h.reshape(n, bsz, t)
+        if use_pqc:
+            return out, new_cache, codes.reshape(n, bsz, z_rows, -1)
         return out, new_cache
 
     run.n_segments = len(segments)

@@ -288,8 +288,7 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
 
                 run_mega.init_cache = init_mega
                 return run_mega
-    if (backend == "pallas" and batch > 1 and not gen.use_pqc
-            and frame_size is not None):
+    if backend == "pallas" and batch > 1 and frame_size is not None:
         # multi-stream: the stacked-region batched mega kernel
         # (ops/mega_stacked.py) — B streams stacked along sublanes, one
         # VMEM-packed segment pipeline. Explicit 'pallas' only for now;
@@ -303,14 +302,23 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                       else {"weight_dtype": weight_dtype})
             init_stk, stk_run = make_mega_stream_stacked(
                 gen, jax.device_put(params), chunk=frame_size, batch=batch,
-                interpret=interpret, **stk_kw)
+                interpret=interpret,
+                vq_state=(jax.device_put(vq_state) if gen.use_pqc
+                          else None), **stk_kw)
         except AssertionError:  # topology the kernel doesn't cover
             init_stk = None
         if init_stk is not None:
-            @jax.jit
-            def run_stacked(cache, frames):
-                out, new_cache = stk_run(cache, frames[:, :, :, 0])
-                return out[:, :, :, None], new_cache
+            if gen.use_pqc:
+                @jax.jit
+                def run_stacked(cache, frames):
+                    out, new_cache, _codes = stk_run(cache,
+                                                     frames[:, :, :, 0])
+                    return out[:, :, :, None], new_cache
+            else:
+                @jax.jit
+                def run_stacked(cache, frames):
+                    out, new_cache = stk_run(cache, frames[:, :, :, 0])
+                    return out[:, :, :, None], new_cache
 
             run_stacked.init_cache = init_stk
             return run_stacked

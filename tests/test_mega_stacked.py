@@ -71,6 +71,55 @@ def test_mega_stacked_cache_continues_across_dispatches(rng):
             [np.asarray(first), np.asarray(second)]), atol=2e-5)
 
 
+def _small_pqc_gen():
+    return AudioDecGenerator(
+        encode_channels=8, decode_channels=8, code_dim=16, codebook_num=3,
+        codebook_size=32, enc_ratios=(2, 4), dec_ratios=(4, 2),
+        enc_strides=(3, 4), dec_strides=(4, 3), use_pqc=True,
+    )
+
+
+def _xla_pqc_stream(gen, params, vq_state, frames):
+    """Reference per-frame PQC streaming (1 stream): encode -> quantize
+    (wire idx) -> lookup -> decode, via the XLA step path."""
+    cache = gen.init_cache(1)
+    flat_cb = gen.flat_codebook(vq_state)
+    outs, codes = [], []
+    for x in frames:
+        z, ec = gen.encode_step(params, cache, jnp.asarray(x[None, :, None]))
+        cache.update(ec)
+        idx = gen.quantize(vq_state, z)  # (L, B, T)
+        zq = gen.lookup(flat_cb, idx)
+        y, dc = gen.decode_step(params, cache, zq)
+        cache.update(dc)
+        outs.append(np.asarray(y)[0, :, 0])
+        codes.append(np.asarray(idx)[:, 0, :].T)  # (T_code, L)
+    return np.stack(outs), np.stack(codes)
+
+
+def test_mega_stacked_pqc_matches_xla(rng):
+    """PQC stacked kernel: same wire indices (exact) and same audio for
+    every stream in the batch."""
+    gen = _small_pqc_gen()
+    params, vq_state = gen.init(jax.random.PRNGKey(4))
+    chunk = gen.hop * 3
+    B = 2
+    init_cache, run = make_mega_stream_stacked(
+        gen, params, chunk, batch=B, weight_dtype=jnp.float32,
+        interpret=True, vq_state=vq_state)
+    frames = rng.standard_normal((3, B, chunk)).astype(np.float32) * 0.3
+    out, cache, codes = run(init_cache(), jnp.asarray(frames))
+    out2, _, codes2 = run(cache, jnp.asarray(frames))  # cache continuation
+    out, codes = np.asarray(out), np.asarray(codes)
+    for b in range(B):
+        ref_out, ref_codes = _xla_pqc_stream(gen, params, vq_state,
+                                             frames[:, b])
+        np.testing.assert_array_equal(codes[:, b], ref_codes,
+                                      err_msg=f"stream {b}")
+        np.testing.assert_allclose(out[:, b], ref_out, atol=2e-5,
+                                   err_msg=f"stream {b}")
+
+
 def test_scan_stream_routes_batched_pallas(rng):
     """make_scan_stream(backend='pallas', batch>1) must route to the
     stacked kernel and match the XLA backend bit-for-bit semantics."""

@@ -23,7 +23,15 @@ def load(d):
         for line in f:
             recs.append(json.loads(line))
     ref = next((r for r in recs if r["step"] == -1), None)
-    curve = [r for r in recs if r["step"] != -1]
+    # a wedge+auto-resume replays the evals since the last checkpoint and
+    # re-appends them; keep the LAST occurrence per step (the replayed
+    # rows are byte-identical when the resume is deterministic — worth
+    # checking by diffing occurrences before trusting a curve)
+    by_step = {}
+    for r in recs:
+        if r["step"] != -1:
+            by_step[r["step"]] = r
+    curve = [by_step[s] for s in sorted(by_step)]
     best = melonly = None
     for name in ("best", "melonly"):
         p = os.path.join(d, f"{name}.json")

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--frames", type=int, default=1600,
                         help="long-scan frames at chunk 300 (scaled down "
                         "for larger chunks)")
+    parser.add_argument("--pqc", action="store_true",
+                        help="probe the symAD PQC codec instead of the "
+                        "without-PQC flagship")
     args = parser.parse_args()
 
     import jax
@@ -38,13 +41,16 @@ def main():
     from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()
-    gen = AudioDecGenerator(use_pqc=False)
-    params, _ = gen.init(jax.random.PRNGKey(0))
+    gen = AudioDecGenerator(use_pqc=args.pqc)
+    params, vq_state = gen.init(jax.random.PRNGKey(0))
+    flat_cb = gen.flat_codebook(vq_state) if args.pqc else None
     rng = np.random.default_rng(0)
 
     @jax.jit
     def xla_step(cache, x):
         z, ec = gen.encode_step(params, cache, x)
+        if args.pqc:
+            z = gen.lookup(flat_cb, gen.quantize(vq_state, z))
         y, dc = gen.decode_step(params, cache, z)
         nc = dict(cache)
         nc.update(ec)
@@ -57,17 +63,18 @@ def main():
         try:
             t0 = time.time()
             init_cache, run = make_mega_stream_stacked(
-                gen, params, chunk, batch=B)
+                gen, params, chunk, batch=B,
+                vq_state=vq_state if args.pqc else None)
 
             @jax.jit
             def run_e(cache, frames, _run=run):
-                out, _ = _run(cache, frames)
+                out, *_ = _run(cache, frames)
                 return jnp.sum(jnp.square(out))
 
             # numerics: 2 frames vs the XLA step path, stream 0 and B-1
             frames = (rng.standard_normal((2, B, chunk)) * 0.3
                       ).astype(np.float32)
-            out, _ = jax.jit(run)(init_cache(), jnp.asarray(frames))
+            out, *_ = jax.jit(run)(init_cache(), jnp.asarray(frames))
             out = np.asarray(out)
             compile_s = time.time() - t0
             cache = gen.init_cache(1)
