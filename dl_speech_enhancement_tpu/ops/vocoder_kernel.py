@@ -686,4 +686,18 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         return h[:, :, 0] if n_out == 1 else h, new_cache
 
     run.num_segments = len(segs)
+    # roofline introspection (docs/SCALING.md vocoder section): per-segment
+    # boundary geometry + resident weight bytes
+    run.segments_io = [
+        {"name": seg.name,
+         "in_rows": seg.in_rows, "in_lanes": seg.in_lanes,
+         "in_len": seg.in_len,
+         "out_rows": seg.out_rows, "out_lanes": seg.out_lanes,
+         "out_len": seg.out_len,
+         "weight_bytes": sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                             for a in seg.consts.arrays),
+         "n_caches": len(seg.caches),
+         "cache_bytes": sum(int(np.prod(shape)) * 4
+                            for _, shape in seg.caches)}
+        for seg in segs]
     return init_cache, run

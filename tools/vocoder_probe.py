@@ -143,6 +143,42 @@ def main():
         "xla_x_realtime": frame_time / t_xla,
     }
 
+    # ---- roofline accounting (docs/SCALING.md vocoder section) ----
+    # model FLOPs/frame from XLA's own cost analysis of the scanned step;
+    # pipeline HBM traffic/frame = the inter-segment boundary activations
+    # (weights are VMEM-resident per segment; caches flush per dispatch)
+    try:
+        nfl = 64
+        zfl = jax.device_put(
+            rng.standard_normal((nfl, z_rows, 64)).astype(np.float32))
+        an = run_xla.lower(voc.init_cache(1), zfl).compile().cost_analysis()
+        flops_frame = float(an["flops"]) / nfl if an.get("flops") else None
+    except Exception:
+        flops_frame = None
+    segio = mega_run.segments_io
+    boundary_bytes = 0
+    for a, b in zip(segio[:-1], segio[1:]):
+        rows = a["out_rows"] * max(a["out_len"], 1) * a["out_lanes"] * 4
+        boundary_bytes += 2 * rows  # write by seg k, read by seg k+1
+    io_bytes = (z_rows * 64 + chunk) * 4  # codes in + audio out
+    result["roofline"] = {
+        "flops_per_frame": flops_frame,
+        "achieved_tflops_mega": (flops_frame / t_mega / 1e12
+                                 if flops_frame else None),
+        "mfu_pct_v5e_bf16": (100 * flops_frame / t_mega / 394e12
+                             if flops_frame else None),
+        "boundary_hbm_bytes_frame": int(boundary_bytes),
+        "io_hbm_bytes_frame": int(io_bytes),
+        "hbm_gb_s": (boundary_bytes + io_bytes) / t_mega / 1e9,
+        "per_segment": [
+            {"name": s["name"],
+             "weight_mb": round(s["weight_bytes"] / 2**20, 2),
+             "cache_kb": round(s["cache_bytes"] / 1024, 1),
+             "out_rows_lanes": (s["out_rows"], s["out_lanes"],
+                                s["out_len"])}
+            for s in segio],
+    }
+
     # ---- full chain: symAD PQC mega encoder -> wire codes -> vocoder ----
     if not args.skip_chain:
         from dl_speech_enhancement_tpu.models import AudioDecGenerator
