@@ -327,6 +327,16 @@ def main():
     if start_step and os.path.exists(f"{args.out}/best.json"):
         with open(f"{args.out}/best.json") as f:
             best_ovrl = json.load(f)["mean_ovrl"]
+    # crawl detector: the long-run axon client degrades by slowing down
+    # (observed 2026-08-20: 0.73 -> 5 s/step with RSS 34 -> 62 GB over
+    # ~5k steps), which never trips the watchdog's silence threshold. Track
+    # per-step walls (eval steps excluded); once this process has its own
+    # healthy baseline, a sustained 4x slowdown exits loudly so
+    # run_watchdog.sh relaunches a fresh process from checkpoint-latest.
+    import collections
+    step_walls = collections.deque(maxlen=200)
+    crawl_baseline = None
+    last_t = None
     for i in range(start_step, args.steps):
         # pure function of the step index so a resumed run trains each step
         # at exactly the rate an uninterrupted run would (a stateful
@@ -360,6 +370,28 @@ def main():
                 sys.exit(1)
             print(f"step {i}: g_loss {g:.3f} d_loss {d:.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        now = time.time()
+        if last_t is not None and (i % args.eval_every) not in (0, 1):
+            step_walls.append(now - last_t)
+        last_t = now
+        if len(step_walls) == step_walls.maxlen:
+            med = sorted(step_walls)[len(step_walls) // 2]
+            if crawl_baseline is None:
+                crawl_baseline = med
+                print(f"step-wall baseline {med:.2f}s", flush=True)
+            elif med > 4.0 * crawl_baseline:
+                print(f"CRAWL: median step wall {med:.2f}s > 4x baseline "
+                      f"{crawl_baseline:.2f}s — checkpointing and exiting "
+                      "for a fresh relaunch (watchdog resumes from "
+                      "checkpoint-latest)", flush=True)
+                save_checkpoint(
+                    latest_dir,
+                    dict(state, params_gema=ema) if ema is not None
+                    else state, config=config)
+                with open(os.path.join(args.out, "latest-step.json"),
+                          "w") as f:
+                    json.dump({"step": i + 1}, f)
+                sys.exit(3)
         if (i + 1) % args.eval_every == 0 or i == args.steps - 1:
             dump = ((i + 1) % (4 * args.eval_every) == 0
                     or i == args.steps - 1)
