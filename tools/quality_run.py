@@ -196,6 +196,21 @@ def main():
     if resume_path:
         meta_path = os.path.join(os.path.dirname(os.path.abspath(resume_path)),
                                  "latest-step.json")
+        print(f"restoring from {resume_path} (~1 GB through the tunnel — "
+              "can take >15 min when congested)", flush=True)
+        # keep the logfile mtime fresh during the quiet restore so the
+        # watchdog's stale timer cannot mistake a slow restore for a hang
+        import threading
+        _hb_stop = threading.Event()
+
+        def _heartbeat():
+            n = 0
+            while not _hb_stop.wait(300):
+                n += 5
+                print(f"[restore] still loading ({n} min)", flush=True)
+
+        _hb = threading.Thread(target=_heartbeat, daemon=True)
+        _hb.start()
         like = dict(state, params_gema=ema) if ema is not None else state
         try:
             restored = load_checkpoint(resume_path, like=like)
@@ -216,6 +231,7 @@ def main():
         # alive holds a full second copy of the GAN state (~1 GB) on the chip,
         # which pushed the B=16 adversarial step's peak past HBM on resume
         del like, restored, params_g, params_d
+        _hb_stop.set()
         with open(meta_path) as f:
             start_step = json.load(f)["step"]
         print(f"resumed from {resume_path} at step {start_step}", flush=True)
