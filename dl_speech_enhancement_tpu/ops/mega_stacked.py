@@ -551,9 +551,17 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
                             : b * src_stride + src_off + rows])
                 v = buf[...]
                 for b in range(bsz):
-                    tail = v[(b + 1) * L - ctx : (b + 1) * L]
-                    buf[b * L : b * L + ctx] = tail
-                    CO[name][b * ctx : (b + 1) * ctx] = tail
+                    buf[b * L : b * L + ctx] = (
+                        v[(b + 1) * L - ctx : (b + 1) * L])
+
+                # the returned cache only needs the LAST grid step's tails
+                # (the grid is sequential); draining every step would cost
+                # B x sites VPU copies per frame
+                @pl.when(i == pl.num_programs(0) - 1)
+                def _():
+                    for b in range(bsz):
+                        CO[name][b * ctx : (b + 1) * ctx] = (
+                            v[(b + 1) * L - ctx : (b + 1) * L])
                 return v
 
             h = x_ref[0]
