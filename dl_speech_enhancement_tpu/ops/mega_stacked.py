@@ -154,6 +154,145 @@ class _Stage:
         return w + sites + 4 * biggest
 
 
+def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
+              in_dtype=jnp.float32):
+    """Pack a stage list into VMEM-budgeted segments and build one
+    pallas_call per segment. Model-agnostic: shared by the codec
+    (:func:`make_mega_stream_stacked`) and the vocoder
+    (ops/vocoder_stacked.py) pipelines.
+
+    Returns ``(all_sites, seg_calls, segments)`` where ``seg_calls`` is a
+    list of ``(call(x, cache, n) -> (out, new_cache_dict), out_dtype)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    segments = []
+    cur = []
+    cur_cost = 0
+    for stg in stages:
+        c = stg.cost_bytes(bsz)
+        if cur and cur_cost + c > vmem_budget:
+            segments.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(stg)
+        cur_cost += c
+        if stg.force_break:
+            segments.append(cur)
+            cur, cur_cost = [], 0
+    if cur:
+        segments.append(cur)
+
+    all_sites = [site for stg in stages for site in stg.sites]
+
+    def build_segment(seg_stages, in_rows, in_lanes, in_dtype):
+        bag = _Bag()
+        sites = []
+        for stg in seg_stages:
+            for name, arr in stg.consts:
+                bag.add(name, arr)
+            sites.extend(stg.sites)
+        site_names = [n for n, *_ in sites]
+        n_c, n_s = len(bag.arrays), len(sites)
+        o_rows = seg_stages[-1].out_rows
+        o_lanes = seg_stages[-1].out_lanes
+        o_dtype = seg_stages[-1].out_dtype
+        geom = {n: (ctx, lanes, rows) for n, ctx, lanes, rows in sites}
+
+        def kernel(*refs):
+            x_ref = refs[0]
+            cr = refs[1 : 1 + n_c]
+            ci = refs[1 + n_c : 1 + n_c + n_s]
+            out_ref = refs[1 + n_c + n_s]
+            co = refs[2 + n_c + n_s : 2 + n_c + 2 * n_s]
+            scratch = refs[2 + n_c + 2 * n_s :]
+            C = {n: cr[i] for i, n in enumerate(bag.names)}
+            S = {n: scratch[i] for i, n in enumerate(site_names)}
+            CI = {n: ci[i] for i, n in enumerate(site_names)}
+            CO = {n: co[i] for i, n in enumerate(site_names)}
+            obuf = scratch[n_s]
+            i = pl.program_id(0)
+
+            def site(name, src, src_stride, src_off):
+                """Compose [ctx | new rows] per region into the site
+                buffer, drain the tail for the next frame/dispatch,
+                return the full (B*L, lanes) buffer value."""
+                ctx, lanes, rows = geom[name]
+                buf = S[name]
+                L = ctx + rows
+
+                @pl.when(i == 0)
+                def _():
+                    for b in range(bsz):
+                        buf[b * L : b * L + ctx] = (
+                            CI[name][b * ctx : (b + 1) * ctx])
+
+                for b in range(bsz):
+                    buf[b * L + ctx : (b + 1) * L] = (
+                        src[b * src_stride + src_off
+                            : b * src_stride + src_off + rows])
+                v = buf[...]
+                for b in range(bsz):
+                    buf[b * L : b * L + ctx] = (
+                        v[(b + 1) * L - ctx : (b + 1) * L])
+
+                # the returned cache only needs the LAST grid step's
+                # tails (the grid is sequential); draining every step
+                # would cost B x sites VPU copies per frame
+                @pl.when(i == pl.num_programs(0) - 1)
+                def _():
+                    for b in range(bsz):
+                        CO[name][b * ctx : (b + 1) * ctx] = (
+                            v[(b + 1) * L - ctx : (b + 1) * L])
+                return v
+
+            h = x_ref[0]
+            if in_dtype == jnp.float32:
+                h = h.astype(jnp.float32)
+            stride, off = in_rows, 0
+            for stg in seg_stages:
+                h, stride, off = stg.body(C, site, h, stride, off)
+            for b in range(bsz):
+                obuf[b * o_rows : (b + 1) * o_rows] = (
+                    h[b * stride + off : b * stride + off + o_rows])
+            out_ref[0] = obuf[...]
+
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def call(x, cache, n):
+            outs = pl.pallas_call(
+                kernel,
+                grid=(n,),
+                in_specs=([pl.BlockSpec((1, bsz * in_rows, in_lanes),
+                                        lambda i: (i, 0, 0))]
+                          + [vmem] * (n_c + n_s)),
+                out_specs=([pl.BlockSpec((1, bsz * o_rows, o_lanes),
+                                         lambda i: (i, 0, 0))]
+                           + [vmem] * n_s),
+                out_shape=([jax.ShapeDtypeStruct((n, bsz * o_rows, o_lanes),
+                                                 o_dtype)]
+                           + [jax.ShapeDtypeStruct((bsz * ctx, lanes),
+                                                   jnp.float32)
+                              for _, ctx, lanes, _ in sites]),
+                scratch_shapes=(
+                    [pltpu.VMEM((bsz * (ctx + rows), lanes), jnp.float32)
+                     for _, ctx, lanes, rows in sites]
+                    + [pltpu.VMEM((bsz * o_rows, o_lanes), o_dtype)]),
+                interpret=interpret,
+            )(x, *bag.arrays, *[cache[nm] for nm in site_names])
+            out, *new = outs
+            return out, dict(zip(site_names, new))
+
+        return call, o_rows, o_lanes, o_dtype
+
+    seg_calls = []
+    for seg_stages in segments:
+        call, in_rows, in_lanes, in_dtype = build_segment(
+            seg_stages, in_rows, in_lanes, in_dtype)
+        seg_calls.append((call, in_dtype))
+    return all_sites, seg_calls, segments
+
+
 def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
                              weight_dtype=jnp.bfloat16,
                              interpret: bool = False,
@@ -483,132 +622,8 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
     st.body = out_body
     stages.append(st)
 
-    # ---------------- greedy VMEM packing into segments ----------------
-    segments = []
-    cur = []
-    cur_cost = 0
-    for stg in stages:
-        c = stg.cost_bytes(bsz)
-        if cur and cur_cost + c > vmem_budget:
-            segments.append(cur)
-            cur, cur_cost = [], 0
-        cur.append(stg)
-        cur_cost += c
-        if stg.force_break:
-            segments.append(cur)
-            cur, cur_cost = [], 0
-    if cur:
-        segments.append(cur)
-
-    # ---------------- one pallas_call per segment ----------------
-    all_sites = [site for stg in stages for site in stg.sites]
-
-    def build_segment(seg_stages, in_rows, in_lanes, in_dtype):
-        bag = _Bag()
-        sites = []
-        for stg in seg_stages:
-            for name, arr in stg.consts:
-                bag.add(name, arr)
-            sites.extend(stg.sites)
-        site_names = [n for n, *_ in sites]
-        n_c, n_s = len(bag.arrays), len(sites)
-        o_rows = seg_stages[-1].out_rows
-        o_lanes = seg_stages[-1].out_lanes
-        o_dtype = seg_stages[-1].out_dtype
-        geom = {n: (ctx, lanes, rows) for n, ctx, lanes, rows in sites}
-
-        def kernel(*refs):
-            x_ref = refs[0]
-            cr = refs[1 : 1 + n_c]
-            ci = refs[1 + n_c : 1 + n_c + n_s]
-            out_ref = refs[1 + n_c + n_s]
-            co = refs[2 + n_c + n_s : 2 + n_c + 2 * n_s]
-            scratch = refs[2 + n_c + 2 * n_s :]
-            C = {n: cr[i] for i, n in enumerate(bag.names)}
-            S = {n: scratch[i] for i, n in enumerate(site_names)}
-            CI = {n: ci[i] for i, n in enumerate(site_names)}
-            CO = {n: co[i] for i, n in enumerate(site_names)}
-            obuf = scratch[n_s]
-            i = pl.program_id(0)
-
-            def site(name, src, src_stride, src_off):
-                """Compose [ctx | new rows] per region into the site
-                buffer, drain the tail for the next frame/dispatch,
-                return the full (B*L, lanes) buffer value."""
-                ctx, lanes, rows = geom[name]
-                buf = S[name]
-                L = ctx + rows
-
-                @pl.when(i == 0)
-                def _():
-                    for b in range(bsz):
-                        buf[b * L : b * L + ctx] = (
-                            CI[name][b * ctx : (b + 1) * ctx])
-
-                for b in range(bsz):
-                    buf[b * L + ctx : (b + 1) * L] = (
-                        src[b * src_stride + src_off
-                            : b * src_stride + src_off + rows])
-                v = buf[...]
-                for b in range(bsz):
-                    buf[b * L : b * L + ctx] = (
-                        v[(b + 1) * L - ctx : (b + 1) * L])
-
-                # the returned cache only needs the LAST grid step's tails
-                # (the grid is sequential); draining every step would cost
-                # B x sites VPU copies per frame
-                @pl.when(i == pl.num_programs(0) - 1)
-                def _():
-                    for b in range(bsz):
-                        CO[name][b * ctx : (b + 1) * ctx] = (
-                            v[(b + 1) * L - ctx : (b + 1) * L])
-                return v
-
-            h = x_ref[0]
-            if in_dtype == jnp.float32:
-                h = h.astype(jnp.float32)
-            stride, off = in_rows, 0
-            for stg in seg_stages:
-                h, stride, off = stg.body(C, site, h, stride, off)
-            for b in range(bsz):
-                obuf[b * o_rows : (b + 1) * o_rows] = (
-                    h[b * stride + off : b * stride + off + o_rows])
-            out_ref[0] = obuf[...]
-
-        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-        def call(x, cache, n):
-            outs = pl.pallas_call(
-                kernel,
-                grid=(n,),
-                in_specs=([pl.BlockSpec((1, bsz * in_rows, in_lanes),
-                                        lambda i: (i, 0, 0))]
-                          + [vmem] * (n_c + n_s)),
-                out_specs=([pl.BlockSpec((1, bsz * o_rows, o_lanes),
-                                         lambda i: (i, 0, 0))]
-                           + [vmem] * n_s),
-                out_shape=([jax.ShapeDtypeStruct((n, bsz * o_rows, o_lanes),
-                                                 o_dtype)]
-                           + [jax.ShapeDtypeStruct((bsz * ctx, lanes),
-                                                   jnp.float32)
-                              for _, ctx, lanes, _ in sites]),
-                scratch_shapes=(
-                    [pltpu.VMEM((bsz * (ctx + rows), lanes), jnp.float32)
-                     for _, ctx, lanes, rows in sites]
-                    + [pltpu.VMEM((bsz * o_rows, o_lanes), o_dtype)]),
-                interpret=interpret,
-            )(x, *bag.arrays, *[cache[nm] for nm in site_names])
-            out, *new = outs
-            return out, dict(zip(site_names, new))
-
-        return call, o_rows, o_lanes, o_dtype
-
-    seg_calls = []
-    in_rows, in_lanes, in_dtype = rows0, fold, jnp.float32
-    for seg_stages in segments:
-        call, in_rows, in_lanes, in_dtype = build_segment(
-            seg_stages, in_rows, in_lanes, in_dtype)
-        seg_calls.append((call, in_dtype))
+    all_sites, seg_calls, segments = _assemble(
+        stages, bsz, rows0, fold, vmem_budget, interpret)
 
     # ---------------- wrappers ----------------
     def init_cache():
