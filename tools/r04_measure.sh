@@ -22,6 +22,9 @@ run stacked_sweep python tools/stacked_probe.py \
     --points 4:300,8:300,16:300,4:1200,8:600 --fits 3
 # 2. stacked PQC codec at the serving point
 run stacked_pqc python tools/stacked_probe.py --pqc --points 16:300 --fits 3
+# 2b. stacked v1 vocoder rx
+run stacked_voc python tools/stacked_probe.py --vocoder \
+    --points 4:300,8:300,16:300 --fits 3
 # 3. vocoder group-pack A/B (on/off) + roofline accounting
 run voc_pack_on  python tools/vocoder_probe.py --skip-chain --fits 3
 run voc_pack_off python tools/vocoder_probe.py --skip-chain --fits 3 \

@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--pqc", action="store_true",
                         help="probe the symAD PQC codec instead of the "
                         "without-PQC flagship")
+    parser.add_argument("--vocoder", action="store_true",
+                        help="probe the stacked HiFiGAN v1 vocoder rx "
+                        "(ops/vocoder_stacked.py) instead of the codec")
     args = parser.parse_args()
 
     import jax
@@ -41,30 +44,61 @@ def main():
     from dl_speech_enhancement_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()
-    gen = AudioDecGenerator(use_pqc=args.pqc)
-    params, vq_state = gen.init(jax.random.PRNGKey(0))
-    flat_cb = gen.flat_codebook(vq_state) if args.pqc else None
     rng = np.random.default_rng(0)
+    if args.vocoder:
+        from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+        from dl_speech_enhancement_tpu.ops.vocoder_stacked import (
+            make_stacked_vocoder,
+        )
 
-    @jax.jit
-    def xla_step(cache, x):
-        z, ec = gen.encode_step(params, cache, x)
-        if args.pqc:
-            z = gen.lookup(flat_cb, gen.quantize(vq_state, z))
-        y, dc = gen.decode_step(params, cache, z)
-        nc = dict(cache)
-        nc.update(ec)
-        nc.update(dc)
-        return y, nc
+        voc = HiFiGANGenerator(
+            in_channels=64, out_channels=1, channels=512, kernel_size=7,
+            upsample_scales=(5, 5, 4, 3),
+            upsample_kernel_sizes=(10, 10, 8, 6),
+            resblock_kernel_sizes=(11,), resblock_dilations=((1, 3, 5),),
+            groups=3)
+        v_params = voc.init(jax.random.PRNGKey(1))
+
+        @jax.jit
+        def xla_step_voc(cache, z):
+            return voc.step(v_params, cache, z)
+    else:
+        gen = AudioDecGenerator(use_pqc=args.pqc)
+        params, vq_state = gen.init(jax.random.PRNGKey(0))
+        flat_cb = gen.flat_codebook(vq_state) if args.pqc else None
+
+        @jax.jit
+        def xla_step(cache, x):
+            z, ec = gen.encode_step(params, cache, x)
+            if args.pqc:
+                z = gen.lookup(flat_cb, gen.quantize(vq_state, z))
+            y, dc = gen.decode_step(params, cache, z)
+            nc = dict(cache)
+            nc.update(ec)
+            nc.update(dc)
+            return y, nc
 
     for point in args.points.split(","):
         B, chunk = (int(v) for v in point.split(":"))
-        label = f"B={B} chunk={chunk}"
+        label = f"B={B} chunk={chunk}" + (" voc" if args.vocoder else "")
         try:
             t0 = time.time()
-            init_cache, run = make_mega_stream_stacked(
-                gen, params, chunk, batch=B,
-                vq_state=vq_state if args.pqc else None)
+            if args.vocoder:
+                z_rows = chunk // voc.total_upsample
+                init_cache, run = make_stacked_vocoder(
+                    voc, v_params, chunk, batch=B)
+
+                def make_frames(n):
+                    return (rng.standard_normal((n, B, z_rows, 64)) * 0.5
+                            ).astype(np.float32)
+            else:
+                init_cache, run = make_mega_stream_stacked(
+                    gen, params, chunk, batch=B,
+                    vq_state=vq_state if args.pqc else None)
+
+                def make_frames(n):
+                    return (rng.standard_normal((n, B, chunk)) * 0.3
+                            ).astype(np.float32)
 
             @jax.jit
             def run_e(cache, frames, _run=run):
@@ -72,19 +106,24 @@ def main():
                 return jnp.sum(jnp.square(out))
 
             # numerics: 2 frames vs the XLA step path, stream 0 and B-1
-            frames = (rng.standard_normal((2, B, chunk)) * 0.3
-                      ).astype(np.float32)
+            frames = make_frames(2)
             out, *_ = jax.jit(run)(init_cache(), jnp.asarray(frames))
             out = np.asarray(out)
             compile_s = time.time() - t0
-            cache = gen.init_cache(1)
             errs = []
             for b in (0, B - 1):
-                c = dict(cache)
-                ref = []
-                for f in frames:
-                    y, c = xla_step(c, jnp.asarray(f[b][None, :, None]))
-                    ref.append(np.asarray(y)[0, :, 0])
+                if args.vocoder:
+                    c = voc.init_cache(1)
+                    ref = []
+                    for f in frames:
+                        y, c = xla_step_voc(c, jnp.asarray(f[b][None]))
+                        ref.append(np.asarray(y)[0, :, 0])
+                else:
+                    c = gen.init_cache(1)
+                    ref = []
+                    for f in frames:
+                        y, c = xla_step(c, jnp.asarray(f[b][None, :, None]))
+                        ref.append(np.asarray(y)[0, :, 0])
                 ref = np.stack(ref)
                 denom = float(np.mean(ref**2)) + 1e-12
                 errs.append(float(np.mean((out[:, b] - ref) ** 2)) / denom)
@@ -97,8 +136,7 @@ def main():
             n1, n2 = n_hi // 4, n_hi
 
             def timed(n):
-                fr = jax.device_put(
-                    rng.standard_normal((n, B, chunk)).astype(np.float32))
+                fr = jax.device_put(make_frames(n))
                 _ = float(run_e(init_cache(), fr))
                 best = float("inf")
                 for _ in range(3):
