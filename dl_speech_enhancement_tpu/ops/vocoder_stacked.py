@@ -107,13 +107,22 @@ def _folded_out_basis_padded(w_out, fold, cp):
 def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                          weight_dtype=jnp.bfloat16,
                          interpret: bool = False,
-                         vmem_budget: int = 12 * 2**20):
+                         vmem_budget: int = 12 * 2**20,
+                         vq_embed=None):
     """Build the stacked batched vocoder pipeline.
 
     Returns ``(init_cache, run)``: ``init_cache() -> {name: (B*ctx,
     lanes) f32}``; ``run(cache, z (N, B, chunk//total_upsample,
     in_channels)) -> (audio (N, B, chunk), new_cache)``. Per-frame
     semantics per stream match ``voc.step`` from zero caches.
+
+    With ``vq_embed`` (the tx analyzer's ``VQState.embed``, shape
+    ``(n_books, code_dim, book_k)``) the first stage prepends the
+    flattened-index codebook lookup, so ``run(cache, codes (N, B,
+    chunk//total_upsample, n_books) int32)`` consumes the tx wire
+    bitstream directly (reference utils/audiodec.py:96-103) — the
+    stacked paired-fleet composition with make_mega_stream_stacked's
+    PQC codes output.
     """
     assert chunk % voc.total_upsample == 0 and chunk > 0
     assert batch >= 1
@@ -134,6 +143,31 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     stages = []
+
+    # ---------------- optional codebook lookup (wire codes in) ---------
+    if vq_embed is not None:
+        embed = np.asarray(vq_embed)  # (L, D, K)
+        n_books, code_dim, book_k = embed.shape
+        assert code_dim == in_ch, (code_dim, in_ch)
+        st = _Stage("vlk", z_rows, in_ch)
+        for l in range(n_books):
+            st.add_const(f"vcbk{l}", embed[l].T.astype(np.float32))
+
+        def vlk_body(C, site, h, stride, off):
+            import jax.lax as lax
+            # h: dense int32 codes (B*z_rows, n_books)
+            rn = h.shape[0]
+            lane = lax.broadcasted_iota(jnp.int32, (rn, book_k), 1)
+            zq = None
+            for l in range(n_books):
+                ind = h[:, l] - l * book_k
+                onehot = (lane == ind[:, None]).astype(jnp.float32)
+                q = dot(onehot, C[f"vcbk{l}"][...])
+                zq = q if zq is None else zq + q
+            return zq, stride, off
+
+        st.body = vlk_body
+        stages.append(st)
 
     # ---------------- input conv (stats-normalization folded) ----------
     w_in = np.asarray(voc.input_conv.weight(params["input_conv"]))
@@ -317,8 +351,11 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
     stages.append(st)
 
     # ---------------- assemble + wrappers ----------------
+    in_lanes = in_ch if vq_embed is None else n_books
+    in_dtype = jnp.float32 if vq_embed is None else jnp.int32
     all_sites, seg_calls, segments = _assemble(
-        stages, bsz, z_rows, in_ch, vmem_budget, interpret)
+        stages, bsz, z_rows, in_lanes, vmem_budget, interpret,
+        in_dtype=in_dtype)
 
     def init_cache():
         return {name: jnp.zeros((bsz * ctx, lanes), jnp.float32)
@@ -326,8 +363,8 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
 
     def run(cache, z):
         n, b, t, c = z.shape
-        assert (t, b, c) == (z_rows, bsz, in_ch), (z.shape, bsz, z_rows)
-        h = z.reshape(n, bsz * z_rows, in_ch)
+        assert (t, b, c) == (z_rows, bsz, in_lanes), (z.shape, bsz, z_rows)
+        h = z.reshape(n, bsz * z_rows, in_lanes)
         new_cache = {}
         for call, _ in seg_calls:
             h, upd = call(h, cache, n)

@@ -70,6 +70,56 @@ def test_vocoder_stacked_cache_continues(rng):
         np.concatenate([np.asarray(first), np.asarray(second)]), atol=3e-5)
 
 
+def test_vocoder_stacked_paired_wire_codes(rng):
+    """Stacked paired fleet: PQC codec tx codes -> in-kernel lookup ->
+    vocoder rx, vs the XLA encode->quantize->lookup->voc.step chain."""
+    from dl_speech_enhancement_tpu.models import AudioDecGenerator
+    from dl_speech_enhancement_tpu.ops.mega_stacked import (
+        make_mega_stream_stacked,
+    )
+
+    codec = AudioDecGenerator(
+        encode_channels=8, decode_channels=8, code_dim=12, codebook_num=2,
+        codebook_size=16, enc_ratios=(2, 4), dec_ratios=(4, 2),
+        enc_strides=(3, 4), dec_strides=(4, 3), use_pqc=True)
+    cparams, vq = codec.init(jax.random.PRNGKey(5))
+    voc = _small_voc()
+    assert voc.total_upsample == codec.hop * 5  # toy shapes differ; use
+    # the vocoder's own rate for the code stream below
+    vparams = voc.init(jax.random.PRNGKey(6))
+    B = 2
+    chunk = codec.hop * 2  # 2 code rows per dispatch for the codec tx
+    tx_init, tx_run = make_mega_stream_stacked(
+        codec, cparams, chunk, batch=B, weight_dtype=jnp.float32,
+        interpret=True, vq_state=vq)
+    # vocoder consumes the SAME code stream shape: chunk_v such that
+    # chunk_v / total_upsample == chunk / hop
+    chunk_v = voc.total_upsample * (chunk // codec.hop)
+    rx_init, rx_run = make_stacked_vocoder(
+        voc, vparams, chunk_v, batch=B, weight_dtype=jnp.float32,
+        interpret=True, vq_embed=vq.embed)
+    frames = rng.standard_normal((2, B, chunk)).astype(np.float32) * 0.3
+    _, _, codes = tx_run(tx_init(), jnp.asarray(frames))
+    out, _ = rx_run(rx_init(), codes)
+    out = np.asarray(out)
+    # XLA reference per stream
+    flat_cb = codec.flat_codebook(vq)
+    for b in range(B):
+        ccache = codec.init_cache(1)
+        vcache = voc.init_cache(1)
+        ref = []
+        for f in np.asarray(frames)[:, b]:
+            z, ec = codec.encode_step(cparams, ccache,
+                                      jnp.asarray(f[None, :, None]))
+            ccache.update(ec)
+            idx = codec.quantize(vq, z)
+            zq = codec.lookup(flat_cb, idx)
+            y, vcache = voc.step(vparams, vcache, zq)
+            ref.append(np.asarray(y)[0, :, 0])
+        np.testing.assert_allclose(out[:, b], np.stack(ref), atol=3e-5,
+                                   err_msg=f"stream {b}")
+
+
 def test_vocoder_stacked_stats_norm(rng):
     """Analyzer-statistics input normalization folded into the input
     conv must match the model's explicit (c - mean)/scale."""
