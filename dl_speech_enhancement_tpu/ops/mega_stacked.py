@@ -155,11 +155,17 @@ class _Stage:
 
 
 def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
-              in_dtype=jnp.float32):
+              in_dtype=jnp.float32, boundary_dtype=jnp.float32):
     """Pack a stage list into VMEM-budgeted segments and build one
     pallas_call per segment. Model-agnostic: shared by the codec
     (:func:`make_mega_stream_stacked`) and the vocoder
     (ops/vocoder_stacked.py) pipelines.
+
+    ``boundary_dtype`` is the dense inter-segment activation dtype
+    (int32 wire-code boundaries are never converted): bf16 halves the
+    boundary HBM traffic — relevant for the audio-rate vocoder stages —
+    at the usual ~40 dB cost the TPU's internal matmul precision already
+    imposes. Compute inside segments stays f32-accumulated either way.
 
     Returns ``(all_sites, seg_calls, segments)`` where ``seg_calls`` is a
     list of ``(call(x, cache, n) -> (out, new_cache_dict), out_dtype)``.
@@ -197,6 +203,9 @@ def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
         o_rows = seg_stages[-1].out_rows
         o_lanes = seg_stages[-1].out_lanes
         o_dtype = seg_stages[-1].out_dtype
+        is_last = seg_stages[-1] is stages[-1]
+        if o_dtype == jnp.float32 and not is_last:
+            o_dtype = boundary_dtype  # final audio stays f32
         geom = {n: (ctx, lanes, rows) for n, ctx, lanes, rows in sites}
 
         def kernel(*refs):
@@ -247,11 +256,13 @@ def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
                 return v
 
             h = x_ref[0]
-            if in_dtype == jnp.float32:
+            if in_dtype != jnp.int32:
                 h = h.astype(jnp.float32)
             stride, off = in_rows, 0
             for stg in seg_stages:
                 h, stride, off = stg.body(C, site, h, stride, off)
+            if h.dtype != o_dtype:
+                h = h.astype(o_dtype)
             for b in range(bsz):
                 obuf[b * o_rows : (b + 1) * o_rows] = (
                     h[b * stride + off : b * stride + off + o_rows])
@@ -297,7 +308,8 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
                              weight_dtype=jnp.bfloat16,
                              interpret: bool = False,
                              vmem_budget: int = 12 * 2**20,
-                             vq_state=None):
+                             vq_state=None,
+                             boundary_dtype=jnp.float32):
     """Build the stacked-region batched streaming pipeline.
 
     Returns ``(init_cache, run)``: ``init_cache() -> {name: (B*ctx,
@@ -623,7 +635,8 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
     stages.append(st)
 
     all_sites, seg_calls, segments = _assemble(
-        stages, bsz, rows0, fold, vmem_budget, interpret)
+        stages, bsz, rows0, fold, vmem_budget, interpret,
+        boundary_dtype=boundary_dtype)
 
     # ---------------- wrappers ----------------
     def init_cache():

@@ -108,7 +108,8 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                          weight_dtype=jnp.bfloat16,
                          interpret: bool = False,
                          vmem_budget: int = 12 * 2**20,
-                         vq_embed=None):
+                         vq_embed=None,
+                         boundary_dtype=jnp.float32):
     """Build the stacked batched vocoder pipeline.
 
     Returns ``(init_cache, run)``: ``init_cache() -> {name: (B*ctx,
@@ -355,7 +356,7 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
     in_dtype = jnp.float32 if vq_embed is None else jnp.int32
     all_sites, seg_calls, segments = _assemble(
         stages, bsz, z_rows, in_lanes, vmem_budget, interpret,
-        in_dtype=in_dtype)
+        in_dtype=in_dtype, boundary_dtype=boundary_dtype)
 
     def init_cache():
         return {name: jnp.zeros((bsz * ctx, lanes), jnp.float32)

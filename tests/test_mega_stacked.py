@@ -140,6 +140,28 @@ def test_scan_stream_routes_batched_pallas(rng):
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=2e-5)
 
 
+def test_mega_stacked_bf16_boundaries(rng):
+    """bf16 inter-segment activations: same audio within bf16 tolerance
+    (the int32 wire/code path and final audio dtype are unaffected)."""
+    gen = _small_gen()
+    params, _ = gen.init(jax.random.PRNGKey(7))
+    chunk = gen.hop * 2
+    B = 2
+    init32, run32 = make_mega_stream_stacked(
+        gen, params, chunk, batch=B, weight_dtype=jnp.float32,
+        interpret=True, vmem_budget=1)  # force one segment per stage
+    init16, run16 = make_mega_stream_stacked(
+        gen, params, chunk, batch=B, weight_dtype=jnp.float32,
+        interpret=True, vmem_budget=1, boundary_dtype=jnp.bfloat16)
+    frames = rng.standard_normal((2, B, chunk)).astype(np.float32) * 0.3
+    y32, _ = run32(init32(), jnp.asarray(frames))
+    y16, _ = run16(init16(), jnp.asarray(frames))
+    assert y16.dtype == jnp.float32
+    scale = float(np.max(np.abs(np.asarray(y32)))) + 1e-6
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               atol=0.05 * scale)
+
+
 def test_mega_stacked_flagship_topology(rng):
     """The real flagship (32..512 channels, strides 3/4/5/5) — the
     topology the bench measures; one frame, 2 streams, vs the XLA step."""
