@@ -28,6 +28,8 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     Best-effort: degrades silently if the config knobs are unavailable.
     """
     if cache_dir is None:
+        cache_dir = os.environ.get("DLSE_COMPILE_CACHE_DIR")
+    if cache_dir is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         cache_dir = os.path.join(repo_root, ".cache", "jax")

@@ -40,4 +40,9 @@ run precision_tpu_hi python tools/precision_probe.py --precision highest \
     --out "$OUT/prec_tpu_hi.json"
 run precision_cmp python tools/precision_probe.py \
     --compare "$OUT/prec_tpu.json" "$OUT/prec_tpu_hi.json"
+# 7. the driver bench, warm cache (wall + every leg status recorded),
+#    then a cold-cache run (fresh cache dir) to record the cold wall
+LEGTIME=600 run bench_warm env BENCH_BUDGET_S=420 python bench.py
+LEGTIME=900 run bench_cold env BENCH_BUDGET_S=420 \
+    DLSE_COMPILE_CACHE_DIR=/tmp/dlse_cold_cache python bench.py
 echo "=== done; transcribe into docs/SCALING.md ==="
