@@ -17,8 +17,10 @@ multi-stream Pallas treatment as the codec:
   to native lanes with a 0/1 projection matmul so the chains never pay
   padded-lane FLOPs;
 - **MultiGroupConv1d resblocks** (the AudioDec v1 fast-decoder trick,
-  reference modules/multi_fusion.py:82-141): the group tile becomes a
-  lane concat, each grouped conv a block-diagonal dense tap matmul (the
+  reference modules/multi_fusion.py:82-141): the group tile is a 0/1
+  tiling matmul fused with the pad compression (a lane concat of
+  sub-128-lane pieces does not lower through Mosaic — measured on-chip),
+  each grouped conv a block-diagonal dense tap matmul (the
   ops/vocoder_kernel.py group-pack), each dilation unit its own stage
   (conv1 + optional conv2 + residual in one fixed-region shift), and the
   1x1 fuse a pointwise matmul;
@@ -215,18 +217,24 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
         bup_p = np.zeros(co_p, np.float32)
         bup_p[:cout] = bup
         t_out = t_rows * s
-        st = _Stage(f"v{si}u", t_out, cout)
+        g = blk.groups
+        st = _Stage(f"v{si}u", t_out, g * cout)
         st.add_const(f"v{si}uM0", m0.astype(wd))
         st.add_const(f"v{si}uM1", m1.astype(wd))
         st.add_const(f"v{si}ub",
                      np.tile(bup_p, s).reshape(1, -1).astype(np.float32))
-        if co_p != cout:
-            # 0/1 projection (exact in any dtype): padded lanes -> native
-            st.add_const(f"v{si}uP", np.eye(co_p, cout, dtype=np.float32))
+        # group tile as a 0/1 matmul: a lane concat of sub-128-lane
+        # pieces does not lower through Mosaic, and this also compresses
+        # the reshape pad in the same pass: (co_p padded lanes) ->
+        # (groups * cout native-block lanes)
+        tile_t = np.zeros((co_p, g * cout), np.float32)
+        for gi in range(g):
+            tile_t[:cout, gi * cout : (gi + 1) * cout] = np.eye(cout)
+        st.add_const(f"v{si}uT", tile_t)
         st.add_site(f"v{si}us", 1, cin, t_rows)
 
         def up_body(C, site, h, stride, off, si=si, s=s, t_in=t_rows,
-                    co_p=co_p, cout=cout):
+                    co_p=co_p):
             v = site(f"v{si}us", h, stride, off)
             a = _leaky(v, slope).astype(wd)
             Lu = 1 + t_in
@@ -235,8 +243,7 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                  + dot(a[1 : rn + 1], C[f"v{si}uM1"][...])
                  + C[f"v{si}ub"][...])
             u = e.reshape(rn * s, co_p)
-            if co_p != cout:  # compress padded lanes back to native
-                u = dot(u.astype(wd), C[f"v{si}uP"][...].astype(wd))
+            u = dot(u.astype(wd), C[f"v{si}uT"][...].astype(wd))
             return u, Lu * s, 0
 
         st.body = up_body
@@ -245,7 +252,6 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
 
         # grouped resblock: one stage per dilation unit, on the tiled
         # (groups*cout)-lane representation; fuse folds into the last unit
-        g = blk.groups
         bp = params["blocks"][si]["block"]
         gc = g * cout
         n_units = len(blk.block.convs1)
@@ -289,8 +295,8 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                        d2=(c2.dilation if add2 else 0),
                        pad_total=pad_total, last=(ui == n_units - 1),
                        t_out=t_out):
-                if ui == 0:  # group tile: lanes concat
-                    h = jnp.concatenate([h] * g, axis=1)
+                # (group tile already applied by the upsample stage's
+                # 0/1 tiling matmul — h arrives at groups*cout lanes)
                 v = site(f"v{si}r{ui}s", h, stride, off)
                 R = v.shape[0]
                 a = _leaky(v, slope).astype(wd)
