@@ -351,10 +351,10 @@ def main():
             return jnp.sum(es)
 
         t_voc, spread_voc = fit_n(
-            run_voc_mega, voc_init, lambda n: (n, voc_z_rows, 64), 800)
+            run_voc_mega, voc_init, lambda n: (n, voc_z_rows, 64), 400)
         t_voc_xla, spread_voc_xla = fit_n(
             run_voc_xla, lambda: voc.init_cache(1),
-            lambda n: (n, voc_z_rows, 64), 400)
+            lambda n: (n, voc_z_rows, 64), 200)
         detail["vocoder_rx_pallas_us_frame"] = round(t_voc * 1e6, 2)
         detail["vocoder_rx_pallas_spread_pct"] = round(spread_voc, 1)
         detail["vocoder_rx_xla_us_frame"] = round(t_voc_xla * 1e6, 2)
@@ -510,10 +510,11 @@ def main():
         ("streams_128", 40, leg_streams128),
         ("stacked_16", 60, leg_stacked16),
         ("latency_offline", 40, leg_latency_offline),
-        ("vocoder_rx", 90, leg_vocoder),
+        # train MFU (VERDICT r3 #5) outranks the remaining inference legs
+        ("train_b16", 100, leg_train),
+        ("vocoder_rx", 80, leg_vocoder),
         ("paired_v1", 60, leg_paired),
         ("frame600", 60, leg_frame600),
-        ("train_b16", 120, leg_train),
     ]
     required = {"xla_single"}  # the headline fallback always runs
     deps = {"streams_16": {"xla_single"}, "streams_128": {"xla_single"},
