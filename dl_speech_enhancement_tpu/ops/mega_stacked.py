@@ -129,6 +129,7 @@ class _Stage:
         self.name = name
         self.consts = []   # (name, array)
         self.sites = []    # (name, ctx, lanes, rows)
+        self.scratch = []  # (name, rows, lanes) extra VMEM scratch
         self.out_rows = out_rows
         self.out_lanes = out_lanes
         self.out_dtype = out_dtype
@@ -141,12 +142,20 @@ class _Stage:
     def add_site(self, name, ctx, lanes, rows):
         self.sites.append((name, ctx, lanes, rows))
 
+    def add_scratch(self, name, rows, lanes):
+        """Extra VMEM scratch reachable in the body via ``site.aux[name]``
+        — e.g. a layout round-trip buffer (Mosaic cannot window-slice a
+        matmul-produced value at >512 lanes; storing and reloading it
+        forces a sliceable layout)."""
+        self.scratch.append((name, rows, lanes))
+
     def cost_bytes(self, bsz):
         """Scoped-VMEM demand estimate: weights + B-scaled cache-site
         buffers + live f32 temporaries (~4 concurrent values the size of
         the largest site window: v, elu(v), acc, y)."""
         w = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                 for _, a in self.consts)
+        w += sum(rows * lanes * 4 for _, rows, lanes in self.scratch)
         sites = sum(bsz * (ctx + rows) * lanes * 4
                     for _, ctx, lanes, rows in self.sites)
         biggest = max((bsz * (ctx + rows) * max(lanes, 128) * 4
@@ -194,10 +203,12 @@ def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
     def build_segment(seg_stages, in_rows, in_lanes, in_dtype):
         bag = _Bag()
         sites = []
+        extras = []
         for stg in seg_stages:
             for name, arr in stg.consts:
                 bag.add(name, arr)
             sites.extend(stg.sites)
+            extras.extend(stg.scratch)
         site_names = [n for n, *_ in sites]
         n_c, n_s = len(bag.arrays), len(sites)
         o_rows = seg_stages[-1].out_rows
@@ -220,6 +231,8 @@ def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
             CI = {n: ci[i] for i, n in enumerate(site_names)}
             CO = {n: co[i] for i, n in enumerate(site_names)}
             obuf = scratch[n_s]
+            aux = {nm: scratch[n_s + 1 + k]
+                   for k, (nm, _, _) in enumerate(extras)}
             i = pl.program_id(0)
 
             def site(name, src, src_stride, src_off):
@@ -255,6 +268,7 @@ def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
                             v[(b + 1) * L - ctx : (b + 1) * L])
                 return v
 
+            site.aux = aux
             h = x_ref[0]
             if in_dtype != jnp.int32:
                 h = h.astype(jnp.float32)
@@ -288,7 +302,9 @@ def _assemble(stages, bsz, in_rows, in_lanes, vmem_budget, interpret,
                 scratch_shapes=(
                     [pltpu.VMEM((bsz * (ctx + rows), lanes), jnp.float32)
                      for _, ctx, lanes, rows in sites]
-                    + [pltpu.VMEM((bsz * o_rows, o_lanes), o_dtype)]),
+                    + [pltpu.VMEM((bsz * o_rows, o_lanes), o_dtype)]
+                    + [pltpu.VMEM((rows, lanes), jnp.float32)
+                       for _, rows, lanes in extras]),
                 interpret=interpret,
             )(x, *bag.arrays, *[cache[nm] for nm in site_names])
             out, *new = outs

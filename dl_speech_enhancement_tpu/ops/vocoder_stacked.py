@@ -56,6 +56,12 @@ from dl_speech_enhancement_tpu.ops.mega_stacked import (
 )
 
 
+# grouped stages with more lanes than this use native per-group weights
+# (block-diag inflation would blow VMEM; Mosaic also cannot window-slice
+# matmul-produced values past 512 lanes)
+_WIDE_THRESHOLD = 512
+
+
 def _blockdiag3(w, groups, blk):
     """(k, c, groups*c) grouped-conv weight -> (k, groups*blk, groups*blk)
     block-diagonal dense (zero-padded per-group blocks of size blk)."""
@@ -111,7 +117,8 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                          interpret: bool = False,
                          vmem_budget: int = 12 * 2**20,
                          vq_embed=None,
-                         boundary_dtype=jnp.float32):
+                         boundary_dtype=jnp.float32,
+                         _debug_n_stages: int | None = None):
     """Build the stacked batched vocoder pipeline.
 
     Returns ``(init_cache, run)``: ``init_cache() -> {name: (B*ctx,
@@ -256,6 +263,15 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
         gc = g * cout
         n_units = len(blk.block.convs1)
         add2 = blk.block.use_additional_convs
+        # wide stages (gc > 512): block-diagonalizing the grouped convs
+        # 3x-inflates their weights past VMEM (stage 0 of the v1 preset:
+        # 2 x 12.9 MB per unit) — keep NATIVE per-group (k, c, c)
+        # weights there and assemble group outputs through a scratch
+        # buffer via 128-aligned lane-block stores. Narrow stages keep
+        # the block-diagonal dense pack (the group-pack win).
+        wide = gc > _WIDE_THRESHOLD
+        assert not wide or cout % 128 == 0, (
+            "wide grouped stages need 128-aligned per-group lanes")
         for ui in range(n_units):
             c1 = blk.block.convs1[ui]
             w1 = np.asarray(c1.weight(bp["convs1"][ui]))
@@ -265,8 +281,14 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
             pad_total = p1
             st = _Stage(f"v{si}r{ui}", t_out, cout if ui == n_units - 1
                         else gc)
-            st.add_const(f"v{si}r{ui}w1",
-                         _blockdiag3(w1, g, cout).astype(wd))
+            if wide:
+                for gi in range(g):
+                    st.add_const(f"v{si}r{ui}w1g{gi}",
+                                 w1[:, :, gi * cout : (gi + 1) * cout]
+                                 .astype(wd))
+            else:
+                st.add_const(f"v{si}r{ui}w1",
+                             _blockdiag3(w1, g, cout).astype(wd))
             st.add_const(f"v{si}r{ui}b1",
                          _tile_bias(b1, g, cout).reshape(1, -1)
                          .astype(np.float32))
@@ -277,12 +299,32 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                 k2, d2 = c2.kernel_size, c2.dilation
                 p2 = (k2 - 1) * d2
                 pad_total += p2
-                st.add_const(f"v{si}r{ui}w2",
-                             _blockdiag3(w2, g, cout).astype(wd))
+                if wide:
+                    for gi in range(g):
+                        st.add_const(f"v{si}r{ui}w2g{gi}",
+                                     w2[:, :, gi * cout : (gi + 1) * cout]
+                                     .astype(wd))
+                else:
+                    st.add_const(f"v{si}r{ui}w2",
+                                 _blockdiag3(w2, g, cout).astype(wd))
                 st.add_const(f"v{si}r{ui}b2",
                              _tile_bias(b2, g, cout).reshape(1, -1)
                              .astype(np.float32))
-            st.add_site(f"v{si}r{ui}s", pad_total, gc, t_out)
+            # TWO sites per unit: conv1's input x-history and conv2's
+            # t-history. A single fixed-region site would synthesize
+            # conv2's first-frame context as conv1(zero-history)+bias,
+            # but the reference conv2 cache is literal zeros — with
+            # nonzero biases the first p2 output rows of a fresh stream
+            # diverge (measured 1.3e-2). Uniform ctx c* = max(p1, p2)
+            # keeps both sites on one region stride so the residual add
+            # stays a global shift.
+            c_star = max(p1, (k2 - 1) * d2) if add2 else p1
+            st.add_site(f"v{si}r{ui}s1", c_star, gc, t_out)
+            if add2:
+                st.add_site(f"v{si}r{ui}s2", c_star, gc, t_out)
+            if wide:
+                st.add_scratch(f"v{si}r{ui}x",
+                               bsz * (c_star + t_out), gc)
             if ui == n_units - 1:
                 wf = np.asarray(blk.conv_out.weight(
                     params["blocks"][si]["conv_out"]))[0]  # (gc, cout)
@@ -290,35 +332,60 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
                              _fuse_blockdiag(wf, g, cout, cout).astype(wd))
 
             def r_body(C, site, h, stride, off, si=si, ui=ui, g=g,
+                       wide=wide, c_blk=cout,
                        k1=k1, d1=d1, p1=p1, add2=add2,
                        k2=(c2.kernel_size if add2 else 0),
                        d2=(c2.dilation if add2 else 0),
-                       pad_total=pad_total, last=(ui == n_units - 1),
+                       c_star=c_star, last=(ui == n_units - 1),
                        t_out=t_out):
                 # (group tile already applied by the upsample stage's
                 # 0/1 tiling matmul — h arrives at groups*cout lanes)
-                v = site(f"v{si}r{ui}s", h, stride, off)
-                R = v.shape[0]
-                a = _leaky(v, slope).astype(wd)
-                w1_ = C[f"v{si}r{ui}w1"]
+                v1 = site(f"v{si}r{ui}s1", h, stride, off)
+                R = v1.shape[0]
+                L = c_star + t_out
+                a = _leaky(v1, slope).astype(wd)
+
+                def grouped_conv(src, wname, k, d, rn):
+                    """Wide: per-group tap matmuls assembled through the
+                    round-trip scratch via 128-aligned lane-block stores
+                    (also forces the sliceable layout Mosaic needs for
+                    the next windowed conv). Narrow: one block-diagonal
+                    dense tap matmul."""
+                    if not wide:
+                        w = C[wname]
+                        acc = dot(src[0:rn], w[0])
+                        for j in range(1, k):
+                            acc += dot(src[j * d : j * d + rn], w[j])
+                        return acc
+                    sref = site.aux[f"v{si}r{ui}x"]
+                    for gi in range(g):
+                        sg = src[:, gi * c_blk : (gi + 1) * c_blk]
+                        wg = C[f"{wname}g{gi}"]
+                        accg = dot(sg[0:rn], wg[0])
+                        for j in range(1, k):
+                            accg += dot(sg[j * d : j * d + rn], wg[j])
+                        sref[0:rn, gi * c_blk : (gi + 1) * c_blk] = accg
+                    return sref[...][0:rn]
+
                 rn1 = R - p1
-                acc = dot(a[0:rn1], w1_[0])
-                for j in range(1, k1):
-                    acc += dot(a[j * d1 : j * d1 + rn1], w1_[j])
-                acc += C[f"v{si}r{ui}b1"][...]
+                y1 = (grouped_conv(a, f"v{si}r{ui}w1", k1, d1, rn1)
+                      + C[f"v{si}r{ui}b1"][...])
+                # y1 valid at region-local c* - p1 + m (window starts)
                 if add2:
-                    t = _leaky(acc, slope).astype(wd)
-                    w2_ = C[f"v{si}r{ui}w2"]
+                    t_all = _leaky(y1, slope)
+                    v2 = site(f"v{si}r{ui}s2", t_all, L, c_star - p1)
                     p2 = (k2 - 1) * d2
-                    rn2 = rn1 - p2
-                    acc = dot(t[0:rn2], w2_[0])
-                    for j in range(1, k2):
-                        acc += dot(t[j * d2 : j * d2 + rn2], w2_[j])
-                    acc += C[f"v{si}r{ui}b2"][...]
-                v = v + jnp.concatenate(
-                    [jnp.zeros((pad_total, v.shape[1]), v.dtype), acc],
+                    rn2 = R - p2
+                    y2 = (grouped_conv(v2.astype(wd), f"v{si}r{ui}w2",
+                                       k2, d2, rn2)
+                          + C[f"v{si}r{ui}b2"][...])
+                    shift = p2
+                else:
+                    y2, shift = y1, p1
+                v = v1 + jnp.concatenate(
+                    [jnp.zeros((shift, v1.shape[1]), v1.dtype), y2],
                     axis=0)
-                stride, off = pad_total + t_out, pad_total
+                stride, off = L, c_star
                 if last:  # 1x1 fuse back to cout lanes (no bias)
                     v = dot(v.astype(wd), C[f"v{si}fW"][...])
                 return v, stride, off
@@ -358,6 +425,8 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
     stages.append(st)
 
     # ---------------- assemble + wrappers ----------------
+    if _debug_n_stages is not None:  # lowering bisection aid
+        stages = stages[:_debug_n_stages]
     in_lanes = in_ch if vq_embed is None else n_books
     in_dtype = jnp.float32 if vq_embed is None else jnp.int32
     all_sites, seg_calls, segments = _assemble(
@@ -376,6 +445,8 @@ def make_stacked_vocoder(voc, params, chunk: int, batch: int,
         for call, _ in seg_calls:
             h, upd = call(h, cache, n)
             new_cache.update(upd)
+        if _debug_n_stages is not None:
+            return h, new_cache  # raw stacked intermediate
         return h.reshape(n, bsz, chunk), new_cache
 
     run.n_segments = len(segments)

@@ -70,6 +70,30 @@ def test_vocoder_stacked_cache_continues(rng):
         np.concatenate([np.asarray(first), np.asarray(second)]), atol=3e-5)
 
 
+def test_vocoder_stacked_wide_group_stage(rng):
+    """gc > 512 stages take the per-group (native-weight) path with the
+    scratch lane-block assembly — must still match voc.step exactly."""
+    voc = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=512, kernel_size=7,
+        upsample_scales=(5, 3), upsample_kernel_sizes=(10, 6),
+        resblock_kernel_sizes=(5,), resblock_dilations=((1, 2),),
+        groups=3)  # stage 0: c=256, gc=768 -> wide
+    params = voc.init(jax.random.PRNGKey(3))
+    chunk = voc.total_upsample
+    B = 2
+    init_cache, run = make_stacked_vocoder(
+        voc, params, chunk, batch=B, weight_dtype=jnp.float32,
+        interpret=True)
+    zs = rng.standard_normal((3, B, 1, 16)).astype(np.float32) * 0.5
+    out, cache = run(init_cache(), jnp.asarray(zs))
+    out2, _ = run(cache, jnp.asarray(zs))  # continuation exercises tails
+    out = np.asarray(out)
+    for b in range(B):
+        ref = _xla_stream(voc, params, zs[:, b])
+        np.testing.assert_allclose(out[:, b], ref, atol=3e-5,
+                                   err_msg=f"stream {b}")
+
+
 def test_vocoder_stacked_paired_wire_codes(rng):
     """Stacked paired fleet: PQC codec tx codes -> in-kernel lookup ->
     vocoder rx, vs the XLA encode->quantize->lookup->voc.step chain."""
