@@ -12,29 +12,39 @@ Completion is serialized by fetching a scalar reduction of the output
 
 Two single-stream paths are timed and the faster wins the headline:
 
-- **XLA**: ``lax.scan`` over the per-frame ``encode_step``/``decode_step``.
 - **mega** (ops/mega_kernel.py): the whole encoder and decoder each as ONE
   Pallas kernel with ``grid=(n_frames,)`` — weights resident in VMEM for
-  the whole dispatch, caches in VMEM scratch across frames.
+  the whole dispatch, caches in VMEM scratch across frames. ~22 us/frame.
+- **XLA**: ``lax.scan`` over the per-frame ``encode_step``/``decode_step``.
+  ~77 us/frame — kept as the comparison arm and the fallback.
 
-Methodology: per-frame device time comes from a **two-point fit** (time a
-long scan and a short scan, take the slope) so the ~30 ms tunnel RTT of the
-scalar-fetch fence cancels. The fit is repeated ``N_FITS`` times and the
-median is reported with its spread — single fits were seen to wobble ~20%
-run-to-run (VERDICT round 1), medians agree within a few percent.
+Methodology (round 5): each leg compiles ONE program (a long scan) and
+times repeated value-fenced calls; the tunnel round-trip (~30 ms) is
+measured separately with tiny scalar fetches and subtracted, and the scan
+is sized so device time is >=10x the RTT. This replaces the round 2-4
+two-length slope fits — same numbers (cross-checked on-chip, see
+docs/SCALING.md round-5 table) at HALF the compiles, which matters because
+cold-compile cost is what starved rounds 3 and 4.
 
-**Budgeted leg scheduler (round 4).** Round 3's bench grew past the
-driver's timeout and, because every leg had to finish before the single
-JSON line printed, captured NOTHING (VERDICT r3 #1). Now the legs run in
-priority order (round-2 headline legs first) under a wall-clock budget
-read from ``BENCH_BUDGET_S`` (default 420 s). Before each leg starts the
-scheduler checks the remaining budget against the leg's cost estimate and
-skips it if it cannot fit; a leg that raises is recorded as an error and
-the run continues. The JSON line ALWAYS prints, with per-leg
-status/wall seconds in ``detail["legs"]`` and ``"skipped"`` markers for
-whatever didn't fit. Measured leg walls (warm compile cache, 2026-08-20,
-recorded in README): full run ~360 s; cold cache: the first legs compile
-in-budget and the rest are marked skipped.
+**Capture hardening (round 5).** Two consecutive driver captures lost the
+headline: round 3 was killed with nothing printed (rc=124), round 4 spent
+688.7 s cold-compiling the then-first ``xla_single`` leg and budget-skipped
+everything else, recording the 77 us fallback instead of the 22 us mega
+path (VERDICT r4 #1). Defenses now in place:
+
+- the MEGA leg runs FIRST and is the only required leg — if cold compiles
+  eat the budget they buy the real headline, not the fallback;
+- the JSON line is emitted from a ``finally``/``atexit`` path, from
+  SIGTERM/SIGINT handlers, AND from a watchdog thread that fires at
+  ``BENCH_HARD_S`` (default 2x budget) and hard-exits — so an external
+  kill or a wedged device fetch still reports every leg collected so far;
+- legs run under a wall-clock budget (``BENCH_BUDGET_S``, default 420 s)
+  with cost estimates (warm-cache leg walls + compile slack); between
+  timing walls a leg re-checks the budget and degrades to fewer walls
+  instead of overrunning;
+- ``tools/bench_seed_cache/`` (committed) pre-seeds the persistent compile
+  cache with the headline legs' executables so even a fresh clone starts
+  warm (entries are copied into the active cache dir before first use).
 
 Roofline context in ``detail``: model FLOPs/frame (utils/profiling.py::
 codec_flops_per_sample), achieved TFLOP/s, MFU vs the v5e bf16 peak
@@ -48,30 +58,99 @@ single-stream x-real-time number. The driver's north star is >50x.
 
 Lower-priority legs (captured when budget allows):
 
-- ``vocoder_rx_{pallas,xla}_us_frame``: the AudioDec v1 HiFiGAN vocoder
-  receiver (19 M params) as the fused Pallas segment pipeline vs XLA scan;
-- ``paired_v1_*``: the full paired-preset pipeline (symAD analyzer tx ->
-  RVQ codes -> v1 vocoder rx), 16 streams batched — the reference's
-  AudioDec v1 demo composition (utils/audiodec.py v1 pairing);
-- ``frame600_*``: frame 600 (12.5 ms), the hop-aligned streaming point
-  nearest the reference's 512-sample (10.67 ms) window, with the honest
-  encode/decode split (poster Table 2 presents enc ms / dec ms);
-- ``train_*_b16``: adversarial course-training throughput (audio-s/s) and
-  XLA-cost-model MFU at batch 16 x 1 s.
+- ``pqc_*``: the symAD codec (encode -> RVQ wire codes -> decode) through
+  the same mega-kernel path;
+- ``streams_{16,128}_*``: multi-stream XLA batching (streams/chip metric;
+  128 is the measured serving sweet spot);
+- ``stacked_16`` / ``stacked_pqc_16``: the stacked-region batched Pallas
+  kernel (ops/mega_stacked.py) for both codecs, vs the XLA batch arm;
+- ``train_*``: adversarial course-training throughput (audio-s/s) and
+  XLA-cost-model MFU;
+- ``vocoder_rx_*``: the AudioDec v1 HiFiGAN vocoder receiver (19 M params)
+  as the fused Pallas segment pipeline vs XLA scan;
+- ``paired_v1_*``: the full paired-preset pipeline (symAD tx -> codes ->
+  v1 vocoder rx), 16 streams batched (utils/audiodec.py v1 pairing);
+- ``frame600_*``: frame 600 (12.5 ms) with the honest encode/decode split
+  (poster Table 2 presentation);
+- ``latency_offline``: single-dispatch end-to-end latency + offline
+  (non-streaming) denoise throughput.
 
-Prints ONE JSON line.
+Prints ONE JSON line (always — see capture hardening above).
 """
 
+import atexit
 import json
 import os
+import shutil
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
 
-N_FITS = 3
+N_WALLS = 5
 V5E_PEAK_FLOPS = 394e12  # bf16 MXU peak, TPU v5e
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+HARD_S = float(os.environ.get("BENCH_HARD_S", str(2.0 * BUDGET_S)))
 T0 = time.time()
+
+# ------------------------------------------------------------ emission
+# Shared mutable state read by the emitter. Leg code fills `detail` and
+# `S` in place so a kill at ANY point reports everything collected.
+detail = {"n_walls": N_WALLS, "budget_s": BUDGET_S, "hard_s": HARD_S}
+legs_report = {}
+S = {}  # cross-leg shared state (timings, models, step fns)
+_emit_lock = threading.Lock()
+_emitted = [False]
+_finished = [False]
+
+
+def _headline():
+    ts = [S[k] for k in ("t_mega", "t_xla") if k in S]
+    if not ts:
+        return None
+    return (1200 / 48000) / min(ts)
+
+
+def emit(tag=None):
+    with _emit_lock:
+        if _emitted[0]:
+            return
+        _emitted[0] = True
+    detail["legs"] = legs_report
+    detail["elapsed_s"] = round(time.time() - T0, 1)
+    if tag:
+        detail["emitted_by"] = tag
+    x_rt = _headline()
+    result = {
+        "metric": "streaming_denoise_x_realtime_48k",
+        "value": round(x_rt, 2) if x_rt else None,
+        "unit": "x_realtime_per_stream",
+        "vs_baseline": round(x_rt / 1.0, 2) if x_rt else None,
+        "detail": detail,
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+def _watchdog():
+    # Fires if the main thread is still going (or wedged in a blocked
+    # device fetch/compile) at the hard deadline: emit what we have and
+    # hard-exit so the driver's own timeout never sees an empty run.
+    while True:
+        left = HARD_S - (time.time() - T0)
+        if _finished[0]:
+            return
+        if left <= 0:
+            emit("watchdog")
+            os._exit(0)
+        time.sleep(min(left, 2.0))
+
+
+def _on_signal(signum, frame):
+    emit(f"signal_{signum}")
+    os._exit(0)
 
 
 def remaining():
@@ -84,7 +163,37 @@ def median_spread(xs):
     return med, spread
 
 
+def seed_compile_cache(cache_dir):
+    """Copy committed seed executables into the active compile cache.
+
+    The compile cache lives under gitignored ``.cache/`` — a fresh clone
+    starts fully cold and the headline leg's first compile alone can eat
+    the budget (round 4: 688.7 s). ``tools/bench_seed_cache/`` holds the
+    cache entries for the headline legs, harvested from a cold run of this
+    exact code; keys are content-addressed so copying them in is safe.
+    """
+    seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "bench_seed_cache")
+    try:
+        if not os.path.isdir(seed_dir):
+            return 0
+        os.makedirs(cache_dir, exist_ok=True)
+        n = 0
+        for name in os.listdir(seed_dir):
+            dst = os.path.join(cache_dir, name)
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(seed_dir, name), dst)
+                n += 1
+        return n
+    except Exception:
+        return -1
+
+
 def main():
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -98,58 +207,106 @@ def main():
     # start measuring in seconds instead of minutes, and removes compile
     # noise from the driver's capture
     enable_compile_cache()
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir:
+        detail["cache_seeded"] = seed_compile_cache(cache_dir)
 
     sample_rate = 48000
     frame_size = 1200  # 25 ms @ 48 kHz, 4 code frames at hop 300
-    n_frames = 1600    # 40 s of audio per long dispatch
     frame_time = frame_size / sample_rate
 
     gen = AudioDecGenerator(use_pqc=False)
     params, _ = gen.init(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
 
-    detail = {"n_fits": N_FITS, "frame_size": frame_size,
-              "budget_s": BUDGET_S}
-    legs_report = {}
-    S = {}  # shared state across legs (lazily built models/kernels)
-
-    # device-array cache: two-point fits re-time the same shapes N_FITS
-    # times; uploading the frames once per shape (instead of once per fit)
-    # keeps the 77 MB/s tunnel out of the leg walls. Cleared between legs.
+    # device-side frame synthesis: timing inputs are random audio, so
+    # generate them ON the device (one tiny compile per shape) instead of
+    # uploading through the ~77 MB/s tunnel (streams_128 frames alone
+    # would be ~300 MB)
     _dev_cache = {}
 
     def dev_frames(shape):
         key = tuple(shape)
         if key not in _dev_cache:
-            _dev_cache[key] = jax.device_put(
-                rng.standard_normal(shape).astype(np.float32))
+            mk = jax.jit(lambda k: 0.1 * jax.random.normal(
+                k, shape, jnp.float32))
+            arr = mk(jax.random.PRNGKey(len(_dev_cache)))
+            _ = float(arr.ravel()[0])  # settle
+            _dev_cache[key] = arr
         return _dev_cache[key]
 
-    def two_point(run, make_cache, frames_shape_fn, n_hi, trials=3):
-        """One two-point fit: the scalar-fetch fence costs one host<->device
-        round trip (~30 ms through this environment's tunnel), so time scans
-        of two lengths and take the slope — the RTT intercept cancels."""
-        n1, n2 = n_hi // 4, n_hi
+    _rtt_probe = [None]
 
-        def timed(n):
-            frames = dev_frames(frames_shape_fn(n))
-            cache = make_cache()
-            _ = float(run(cache, frames))  # compile + settle
-            best = float("inf")
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                _ = float(run(cache, frames))  # scalar fetch = fence
-                best = min(best, time.perf_counter() - t0)
-            return best
+    def measure_rtt(n=5):
+        if _rtt_probe[0] is None:
+            _rtt_probe[0] = jax.device_put(jnp.zeros(()))
+            _ = float(_rtt_probe[0] + 1.0)
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _ = float(_rtt_probe[0] + 1.0)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
-        return (timed(n2) - timed(n1)) / (n2 - n1)
-
-    def fit_n(run, make_cache, frames_shape_fn, n_hi, n_fits=N_FITS):
-        fits = [two_point(run, make_cache, frames_shape_fn, n_hi)
-                for _ in range(n_fits)]
-        return median_spread(fits)
+    def fit_n(run, make_cache, frames_shape_fn, n_hi, n_walls=N_WALLS):
+        """Per-step device time for ``run(cache, frames)`` over ``n_hi``
+        scan steps: one compile, repeated value-fenced walls, tunnel RTT
+        measured separately and subtracted. ``n_hi`` is sized so device
+        time >= 10x the ~30 ms RTT. Degrades to fewer walls (min 2) when
+        the leg budget runs out mid-measurement."""
+        frames = dev_frames(frames_shape_fn(n_hi))
+        cache = make_cache()
+        _ = float(run(cache, frames))  # compile + settle
+        _ = float(run(cache, frames))  # warm
+        rtt = measure_rtt()
+        walls = []
+        for _ in range(n_walls):
+            t0 = time.perf_counter()
+            _ = float(run(cache, frames))  # scalar fetch = fence
+            walls.append(time.perf_counter() - t0)
+            if len(walls) >= 2 and remaining() < 0:
+                break  # intra-leg budget degradation
+        med, spread = median_spread(walls)
+        return max(med - rtt, 1e-9) / n_hi, spread
 
     # ---------------------------------------------------------------- legs
+
+    def leg_mega_single():
+        from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
+
+        mega_init_cache, mega_run = make_mega_stream(
+            gen, params, chunk=frame_size)
+
+        @jax.jit
+        def run_stream_mega(cache, frames):
+            out, _ = mega_run(cache, frames)
+            return jnp.sum(jnp.square(out))
+
+        n = 6400  # r4-compiled grid (cache hit); ~0.14 s device time
+        t, spread = fit_n(run_stream_mega, mega_init_cache,
+                          lambda k: (k, frame_size), n)
+        S["t_mega"] = t
+        detail["frame_us_mega"] = round(t * 1e6, 2)
+        detail["frame_us_mega_spread_pct"] = round(spread, 1)
+
+        # roofline accounting — attributed to the MEGA path specifically:
+        # the HBM byte model below (cache drain, amortized VMEM-resident
+        # bf16 weights) describes the mega kernel's traffic
+        flops_frame = codec_flops_per_sample(gen) * frame_size
+        cache_bytes = sum(int(np.prod(v.shape)) * 4
+                          for v in mega_init_cache().values())
+        n_params = sum(int(np.prod(np.asarray(l).shape))
+                       for l in jax.tree_util.tree_leaves(params))
+        z_bytes = (frame_size // gen.hop) * gen.encoder.out_channels * 4
+        hbm_frame = (2 * frame_size * 4      # audio in + out (f32)
+                     + 2 * z_bytes           # feature hand-off write + read
+                     + cache_bytes           # cache drain (write every frame)
+                     + 2 * n_params / n)     # bf16 weights / dispatch
+        detail["flops_per_frame"] = int(flops_frame)
+        detail["achieved_tflops_mega"] = round(flops_frame / t / 1e12, 2)
+        detail["mfu_pct_v5e_bf16_mega"] = round(
+            100.0 * flops_frame / t / V5E_PEAK_FLOPS, 2)
+        detail["hbm_bytes_per_frame"] = int(hbm_frame)
+        detail["hbm_gb_s"] = round(hbm_frame / t / 1e9, 2)
 
     def leg_xla_single():
         def chunk_step(cache, x):
@@ -169,47 +326,10 @@ def main():
 
         S["run_stream"] = run_stream
         t, spread = fit_n(run_stream, lambda: gen.init_cache(1),
-                          lambda n: (n, 1, frame_size, 1), n_frames)
+                          lambda k: (k, 1, frame_size, 1), 6400)
         S["t_xla"] = t
         detail["frame_us_xla"] = round(t * 1e6, 2)
         detail["frame_us_xla_spread_pct"] = round(spread, 1)
-
-    def leg_mega_single():
-        from dl_speech_enhancement_tpu.ops.mega_kernel import make_mega_stream
-
-        mega_init_cache, mega_run = make_mega_stream(
-            gen, params, chunk=frame_size)
-
-        @jax.jit
-        def run_stream_mega(cache, frames):
-            out, _ = mega_run(cache, frames)
-            return jnp.sum(jnp.square(out))
-
-        t, spread = fit_n(run_stream_mega, mega_init_cache,
-                          lambda n: (n, frame_size), n_frames * 4)
-        S["t_mega"] = t
-        detail["frame_us_mega"] = round(t * 1e6, 2)
-        detail["frame_us_mega_spread_pct"] = round(spread, 1)
-
-        # roofline accounting — attributed to the MEGA path specifically:
-        # the HBM byte model below (cache drain, amortized VMEM-resident
-        # bf16 weights) describes the mega kernel's traffic
-        flops_frame = codec_flops_per_sample(gen) * frame_size
-        cache_bytes = sum(int(np.prod(v.shape)) * 4
-                          for v in mega_init_cache().values())
-        n_params = sum(int(np.prod(np.asarray(l).shape))
-                       for l in jax.tree_util.tree_leaves(params))
-        z_bytes = (frame_size // gen.hop) * gen.encoder.out_channels * 4
-        hbm_frame = (2 * frame_size * 4      # audio in + out (f32)
-                     + 2 * z_bytes           # feature hand-off write + read
-                     + cache_bytes           # cache drain (write every frame)
-                     + 2 * n_params / (n_frames * 4))  # bf16 w / dispatch
-        detail["flops_per_frame"] = int(flops_frame)
-        detail["achieved_tflops_mega"] = round(flops_frame / t / 1e12, 2)
-        detail["mfu_pct_v5e_bf16_mega"] = round(
-            100.0 * flops_frame / t / V5E_PEAK_FLOPS, 2)
-        detail["hbm_bytes_per_frame"] = int(hbm_frame)
-        detail["hbm_gb_s"] = round(hbm_frame / t / 1e9, 2)
 
     def leg_pqc():
         # PQC (symAD) codec single-stream: the full encode->RVQ->decode
@@ -229,7 +349,7 @@ def main():
             return jnp.sum(jnp.square(out)) + jnp.sum(codes)
 
         t, spread = fit_n(run_stream_pqc, pqc_init_cache,
-                          lambda n: (n, frame_size), n_frames * 4)
+                          lambda k: (k, frame_size), 6400)
         detail["pqc_frame_us"] = round(t * 1e6, 2)
         detail["pqc_frame_us_spread_pct"] = round(spread, 1)
         detail["pqc_x_realtime"] = round(frame_time / t, 1)
@@ -240,7 +360,7 @@ def main():
         # (MXU rows), then regresses — 128 is the serving sweet spot, 16
         # kept for round-over-round continuity.
         t, spread = fit_n(S["run_stream"], lambda: gen.init_cache(16),
-                          lambda n: (n, 16, frame_size, 1), 400)
+                          lambda k: (k, 16, frame_size, 1), 400)
         detail["streams_16_frame_ms"] = round(t * 1e3, 3)
         detail["streams_16_spread_pct"] = round(spread, 1)
         detail["realtime_streams_per_chip_at_16"] = round(
@@ -248,7 +368,7 @@ def main():
 
     def leg_streams128():
         t, spread = fit_n(S["run_stream"], lambda: gen.init_cache(128),
-                          lambda n: (n, 128, frame_size, 1), 200)
+                          lambda k: (k, 128, frame_size, 1), 200)
         detail["streams_128_frame_ms"] = round(t * 1e3, 3)
         detail["streams_128_spread_pct"] = round(spread, 1)
         detail["realtime_streams_per_chip_at_128"] = round(
@@ -271,13 +391,59 @@ def main():
             out, _ = stk_run(cache, frames)
             return jnp.sum(jnp.square(out))
 
-        t, spread = fit_n(run_stk, stk_init, lambda n: (n, B, ck), 1600)
+        t, spread = fit_n(run_stk, stk_init, lambda k: (k, B, ck), 1600)
         # per 25 ms (1200-sample) frame per stream, for apples-to-apples
         us_sf = t / B * (1200 / ck) * 1e6
         detail["stacked_16_us_frame_per_stream"] = round(us_sf, 2)
         detail["stacked_16_spread_pct"] = round(spread, 1)
         detail["realtime_streams_per_chip_stacked_16"] = round(
             (ck / sample_rate) / t * B, 1)
+
+    def leg_stacked_pqc16():
+        # batched PQC serving A/B (VERDICT r4 #4): the stacked Pallas
+        # kernel vs the XLA batched scan for the symAD codec at B=16 —
+        # the control arm that decides make_scan_stream's 'auto' routing.
+        from dl_speech_enhancement_tpu.ops.mega_stacked import (
+            make_mega_stream_stacked,
+        )
+
+        pqc_gen, pqc_params, pqc_vq = S["pqc"]
+        B, ck = 16, 300
+        stk_init, stk_run = make_mega_stream_stacked(
+            pqc_gen, pqc_params, ck, B, vq_state=pqc_vq)
+
+        @jax.jit
+        def run_stk(cache, frames):
+            out, _, codes = stk_run(cache, frames)
+            return jnp.sum(jnp.square(out)) + jnp.sum(codes)
+
+        t, spread = fit_n(run_stk, stk_init, lambda k: (k, B, ck), 1600)
+        us_sf = t / B * (1200 / ck) * 1e6
+        detail["stacked_pqc_16_us_frame_per_stream"] = round(us_sf, 2)
+        detail["stacked_pqc_16_spread_pct"] = round(spread, 1)
+
+        # XLA batched PQC control arm
+        flat_cb = pqc_gen.flat_codebook(pqc_vq)
+
+        def pqc_step(cache, x):
+            z, enc_cache = pqc_gen.encode_step(pqc_params, cache, x)
+            codes = pqc_gen.quantize(pqc_vq, z)
+            zq = pqc_gen.lookup(flat_cb, codes)
+            y, dec_cache = pqc_gen.decode_step(pqc_params, cache, zq)
+            new_cache = dict(cache)
+            new_cache.update(enc_cache)
+            new_cache.update(dec_cache)
+            return new_cache, jnp.sum(jnp.square(y)) + jnp.sum(codes)
+
+        @jax.jit
+        def run_pqc_xla(cache, frames):
+            cache, es = lax.scan(pqc_step, cache, frames)
+            return jnp.sum(es)
+
+        t_x, spread_x = fit_n(run_pqc_xla, lambda: pqc_gen.init_cache(B),
+                              lambda k: (k, B, 1200, 1), 400)
+        detail["xla_pqc_16_us_frame_per_stream"] = round(t_x / B * 1e6, 2)
+        detail["xla_pqc_16_spread_pct"] = round(spread_x, 1)
 
     def leg_latency_offline():
         # single-dispatch end-to-end latency (incl. host round trip)
@@ -296,27 +462,26 @@ def main():
             float(np.median(lats) * 1e3), 2)
 
         # offline (parallel, non-streaming) denoise throughput: 16 x 2 s
-        # batch, K forwards scanned per dispatch (same RTT-cancelling fit)
-        def offline_scan(k):
-            @jax.jit
-            def run(xb):
-                def body(c, _):
-                    y = gen(params, None, xb + c * 1e-20, train=False)[0]
-                    return jnp.sum(jnp.square(y)) * 1e-20, None
-                s, _ = jax.lax.scan(body, 0.0, None, length=k)
-                return s
-            xb = dev_frames((16, 96000, 1))
-            _ = float(run(xb))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _ = float(run(xb))
-                best = min(best, time.perf_counter() - t0)
-            return best
+        # batch, K forwards scanned per dispatch, RTT-subtracted
+        k_off = 8
 
-        off_fits = [(offline_scan(8) - offline_scan(2)) / 6
-                    for _ in range(3)]
-        t_off, _ = median_spread(off_fits)
+        @jax.jit
+        def run_off(xb):
+            def body(c, _):
+                y = gen(params, None, xb + c * 1e-20, train=False)[0]
+                return jnp.sum(jnp.square(y)) * 1e-20, None
+            s, _ = jax.lax.scan(body, 0.0, None, length=k_off)
+            return s
+
+        xb = dev_frames((16, 96000, 1))
+        _ = float(run_off(xb))
+        rtt = measure_rtt()
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(run_off(xb))
+            walls.append(time.perf_counter() - t0)
+        t_off = (float(np.median(walls)) - rtt) / k_off
         detail["offline_denoise_x_realtime"] = round((16 * 2.0) / t_off, 1)
 
     def leg_vocoder():
@@ -351,10 +516,10 @@ def main():
             return jnp.sum(es)
 
         t_voc, spread_voc = fit_n(
-            run_voc_mega, voc_init, lambda n: (n, voc_z_rows, 64), 400)
+            run_voc_mega, voc_init, lambda k: (k, voc_z_rows, 64), 4000)
         t_voc_xla, spread_voc_xla = fit_n(
             run_voc_xla, lambda: voc.init_cache(1),
-            lambda n: (n, voc_z_rows, 64), 200)
+            lambda k: (k, voc_z_rows, 64), 200)
         detail["vocoder_rx_pallas_us_frame"] = round(t_voc * 1e6, 2)
         detail["vocoder_rx_pallas_spread_pct"] = round(spread_voc, 1)
         detail["vocoder_rx_xla_us_frame"] = round(t_voc_xla * 1e6, 2)
@@ -387,7 +552,7 @@ def main():
         t, spread = fit_n(
             run_pair,
             lambda: (pqc_gen.init_cache(16), voc.init_cache(16)),
-            lambda n: (n, 16, frame_size, 1), 100)
+            lambda k: (k, 16, frame_size, 1), 100)
         detail["paired_v1_stream_ms_at_16"] = round(t * 1e3, 3)
         detail["paired_v1_spread_pct_at_16"] = round(spread, 1)
         detail["paired_v1_streams_per_chip_at_16"] = round(
@@ -417,9 +582,9 @@ def main():
             return jnp.sum(es)
 
         t_600, spread_600 = fit_n(run_full, lambda: gen.init_cache(1),
-                                  lambda n: (n, 1, f600, 1), n_frames)
+                                  lambda k: (k, 1, f600, 1), 1600)
         t_600_enc, _ = fit_n(run_enc, lambda: gen.init_cache(1),
-                             lambda n: (n, 1, f600, 1), n_frames)
+                             lambda k: (k, 1, f600, 1), 1600)
         detail["frame600_us"] = round(t_600 * 1e6, 2)
         detail["frame600_spread_pct"] = round(spread_600, 1)
         detail["frame600_x_realtime"] = round(f600 / sample_rate / t_600, 1)
@@ -429,15 +594,16 @@ def main():
 
     def leg_train():
         # training throughput: full adversarial course step (G then D),
-        # 16 x 1 s, per-step device time via RTT-subtracted value-fenced
-        # walls (tools/train_bench.py methodology; queue depth 1 — deep
-        # donated-step queues wedge the tunneled backend)
+        # per-step device time via RTT-subtracted value-fenced walls
+        # (queue depth 1 — deep donated-step queues wedge the tunneled
+        # backend)
         from dl_speech_enhancement_tpu.models import HiFiGANDiscriminator
         from dl_speech_enhancement_tpu.train.denoise_course import (
             make_course_steps,
         )
         from dl_speech_enhancement_tpu.train.optim import build_optimizer
 
+        rng = np.random.default_rng(0)
         B = 16
         tg = AudioDecGenerator(use_pqc=False)
         seg = 48000 // tg.hop * tg.hop
@@ -477,19 +643,15 @@ def main():
                 step_flops = float(an["flops"])
         except Exception:
             pass
-        z = jax.device_put(jnp.zeros(()))
-        rtts = []
-        for _ in range(6):
-            t0 = time.perf_counter()
-            _ = float(z + 1.0)
-            rtts.append(time.perf_counter() - t0)
-        rtt = float(np.median(rtts))
+        rtt = measure_rtt(6)
         walls = []
         for _ in range(6):
             t0 = time.perf_counter()
             st, g, d, _, _ = stepfn(st, x, y)
             _ = float(g)
             walls.append(time.perf_counter() - t0)
+            if len(walls) >= 3 and remaining() < 0:
+                break
         dev = float(np.median(walls)) - rtt
         detail["train_audio_s_per_s_b16"] = round(B * seg / 48000 / dev, 1)
         detail["train_step_ms_b16"] = round(dev * 1e3, 1)
@@ -498,28 +660,32 @@ def main():
             if step_flops else None)
         del st, x, y
 
-    # priority order: round-2 headline legs first (the driver's
-    # round-over-round continuity), then the round-3 additions. Cost
-    # estimates are warm-cache leg walls + compile slack; a leg only
+    # priority order: the mega-kernel HEADLINE leg first (required — if
+    # cold compiles eat the budget, they buy the real number, not the
+    # fallback; VERDICT r4 #1), then the comparison/continuity legs.
+    # Cost estimates are warm-cache leg walls + compile slack; a leg only
     # starts if the estimate fits the remaining budget.
     legs = [
-        ("xla_single", 60, leg_xla_single),
-        ("mega_single", 90, leg_mega_single),
-        ("pqc", 90, leg_pqc),
-        ("streams_16", 40, leg_streams16),
-        ("streams_128", 40, leg_streams128),
-        ("stacked_16", 60, leg_stacked16),
+        ("mega_single", 60, leg_mega_single),
+        ("xla_single", 50, leg_xla_single),
+        ("pqc", 60, leg_pqc),
+        ("streams_128", 30, leg_streams128),
+        ("streams_16", 30, leg_streams16),
+        ("stacked_16", 50, leg_stacked16),
+        ("stacked_pqc_16", 60, leg_stacked_pqc16),
+        # train MFU (VERDICT r3 #5 / r4 #2) outranks the remaining
+        # inference legs
+        ("train_b16", 110, leg_train),
+        ("vocoder_rx", 110, leg_vocoder),
+        ("paired_v1", 40, leg_paired),
+        ("frame600", 50, leg_frame600),
         ("latency_offline", 40, leg_latency_offline),
-        # train MFU (VERDICT r3 #5) outranks the remaining inference legs
-        ("train_b16", 100, leg_train),
-        ("vocoder_rx", 80, leg_vocoder),
-        ("paired_v1", 60, leg_paired),
-        ("frame600", 60, leg_frame600),
     ]
-    required = {"xla_single"}  # the headline fallback always runs
+    required = {"mega_single"}  # the headline always runs
     deps = {"streams_16": {"xla_single"}, "streams_128": {"xla_single"},
             "latency_offline": {"xla_single"},
             "frame600": {"xla_single"},
+            "stacked_pqc_16": {"pqc"},
             "paired_v1": {"pqc", "vocoder_rx"}}
 
     done = set()
@@ -545,20 +711,14 @@ def main():
                                  "s": round(time.time() - t0, 1)}
         _dev_cache.clear()
 
-    detail["legs"] = legs_report
-    detail["elapsed_s"] = round(time.time() - T0, 1)
-
-    t_candidates = [S[k] for k in ("t_xla", "t_mega") if k in S]
-    x_rt_single = (frame_time / min(t_candidates)) if t_candidates else None
-    result = {
-        "metric": "streaming_denoise_x_realtime_48k",
-        "value": round(x_rt_single, 2) if x_rt_single else None,
-        "unit": "x_realtime_per_stream",
-        "vs_baseline": round(x_rt_single / 1.0, 2) if x_rt_single else None,
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    _finished[0] = True
+    emit("main")
 
 
 if __name__ == "__main__":
-    main()
+    atexit.register(emit, "atexit")
+    try:
+        main()
+    except BaseException:
+        emit("exception")
+        raise
