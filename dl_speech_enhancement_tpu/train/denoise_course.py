@@ -335,6 +335,7 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
 
         logger.info("Epoch %d", epoch)
         train_losses = {"generator": [], "discriminator": []}
+        last_frags = {}
         # note: mixing happens on host (numpy), so batches stay host-side
         # here; the jitted step's arguments upload while the previous step
         # computes (async dispatch) — prefetch_to_device is used by the
@@ -354,6 +355,7 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
                 state, _put(mixed), _put(clean_batch)
             )
             steps += 1
+            last_frags = frags
             g_loss, d_loss = float(g_loss), float(d_loss)
             train_losses["generator"].append(g_loss)
             train_losses["discriminator"].append(d_loss)
@@ -405,5 +407,7 @@ def train_denoise_course(config: dict, gen, disc, train_loaders, val_loaders,
         history.append({
             "epoch": epoch, "train_gen": avg_gen, "train_dis": avg_dis,
             "val_gen": gen_val / n_val, "val_dis": dis_val / n_val,
+            # last train step's loss fragments (mel/snr/adv/feat/wave_l1)
+            "frags": {k: float(v) for k, v in last_frags.items()},
         })
     return state, history

@@ -331,3 +331,60 @@ def test_cli_train_denoise_course_laptop(corpus, monkeypatch, tmp_path):
     ])
     assert len(history) == 1
     assert np.isfinite(history[0]["val_gen"])
+
+
+def test_cli_train_denoise_course_wave_l1_preset(corpus, monkeypatch):
+    """The shipped wave-L1 preset (configs/denoise/symAD_48MelWaveL1.yaml,
+    VERDICT r4 #6) is a loadable course config whose lambda_wave_l1 key
+    reaches the training objective: a LAPTOP run with the preset's lambda
+    (tiny models, same schema) reports the wave_l1_loss fragment."""
+    import dl_speech_enhancement_tpu  # repo root anchor
+
+    from dl_speech_enhancement_tpu.cli import train_denoise as course_cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(
+        dl_speech_enhancement_tpu.__file__)))
+    with open(os.path.join(repo, "configs", "denoise",
+                           "symAD_48MelWaveL1.yaml")) as f:
+        preset = yaml.safe_load(f)
+    assert preset["lambda_wave_l1"] == 100.0
+    assert preset["sample_rate"] == 48000
+    # the preset keeps the reference schema: same generator/discriminator
+    # key surface as symAD_custom.yaml
+    assert set(TINY_GEN) <= set(preset["generator_params"])
+
+    monkeypatch.chdir(corpus)
+    cfg = {
+        "sample_rate": SR, "initial_model": "", "step": 0,
+        "experiment_name": "tiny-wl1", "epochs": 1,
+        "epoch_to_enable_discriminator": 100,
+        "noise_dropout_rate": 0.5, "noise_dropout_rate_decay": 0.1,
+        "epoch_to_enable_noise_dropout_decay": 0, "seed": 9,
+        "lambda_snr_loss": 1.0,
+        "lambda_wave_l1": preset["lambda_wave_l1"],
+        "generator_params": TINY_GEN,
+        "discriminator_params": TINY_DISC,
+        "mel_loss_params": MEL_TINY,
+        "lambda_adv": 1.0, "lambda_feat_match": 2.0, "lambda_mel_loss": 45.0,
+        "generator_adv_loss_params": {"average_by_discriminators": False},
+        "discriminator_adv_loss_params": {"average_by_discriminators": False},
+        "generator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+        "discriminator_optimizer_params": {"lr": 1e-3, "betas": [0.5, 0.9]},
+        "generator_grad_norm": -1, "discriminator_grad_norm": -1,
+        "batch_size": 2,
+    }
+    cfg_dir = corpus / "configs" / "denoise"
+    os.makedirs(cfg_dir, exist_ok=True)
+    with open(cfg_dir / "tiny_wl1.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    state, history = course_cli.main([
+        "-e", "LAPTOP", "-c", "tiny_wl1.yaml",
+        "--config-dir", str(cfg_dir),
+        "--clean-path", str(corpus / "corpus" / "clean_train"),
+        "--noise-path", str(corpus / "corpus" / "noisy_train"),
+        "--job-dir", str(corpus / "job_out"),
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["val_gen"])
+    assert history[0]["frags"].get("wave_l1_loss", 0.0) > 0.0
