@@ -50,13 +50,17 @@ kernels. This design removes all of that:
   from ``(B*ctx, lanes)`` arrays at grid step 0 and drained back every
   step.
 
-Covers the without-PQC generator family (the flagship denoiser,
-models/autoencoder_without_PQC/AudioDec.py:95-100 streamed frame-by-
-frame as bin/stream.py does); PQC would add the projector/RVQ exactly as
-make_mega_stream does but is not wired yet. Equivalence vs
+Covers BOTH generator families: the without-PQC flagship denoiser
+(models/autoencoder_without_PQC/AudioDec.py:95-100 streamed frame-by-
+frame as bin/stream.py does) and, with ``vq_state``, the PQC (symAD)
+codec — in-kernel projector + residual-VQ nearest-codeword search
+emitting the int32 wire codes + codebook lookup + decoder input conv,
+exactly as make_mega_stream's single-stream path does. Equivalence vs
 ``gen.encode_step``/``decode_step`` per stream is pinned in
-tests/test_mega_stacked.py; on-chip A/B vs the XLA batch path in
-docs/SCALING.md.
+tests/test_mega_stacked.py (incl. test_mega_stacked_pqc_matches_xla);
+on-chip A/B vs the XLA batch path in docs/SCALING.md (the stacked PQC
+kernel WINS at B=16 — 14.4 vs 26.2 us/stream-frame single-stream mega —
+and is the 'auto' route for PQC batch>1 in stream/runtime.py).
 """
 
 from __future__ import annotations
@@ -501,6 +505,10 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
         assert pr.stride == 1 and pr.dilation == 1
         w_pr = np.asarray(pr.weight(params["projector"]["conv"]))
         k_pr = w_pr.shape[0]
+        # k==1 would create a zero-row cache site, which Mosaic may only
+        # reject at lowering — assert here so make_scan_stream's documented
+        # AssertionError fallback path fires instead (ADVICE r4)
+        assert k_pr > 1, "stacked PQC assumes projector kernel_size > 1"
         embed = np.asarray(vq_state.embed)  # (L, D, K)
         n_books, code_dim, book_k = embed.shape
         st = _Stage("pq", z_rows, n_books, out_dtype=jnp.int32,
@@ -545,6 +553,7 @@ def make_mega_stream_stacked(gen, params, chunk: int, batch: int,
         assert d1.stride == 1 and d1.dilation == 1
         w_d1 = np.asarray(d1.weight(dec_p["conv1"]))
         k_d1 = w_d1.shape[0]
+        assert k_d1 > 1, "stacked PQC assumes decoder conv1 kernel_size > 1"
         st = _Stage("lk", z_rows, dec.blocks[0].conv.in_channels)
         for l in range(n_books):
             st.add_const(f"cbk{l}", embed[l].T.astype(np.float32))  # (K, D)

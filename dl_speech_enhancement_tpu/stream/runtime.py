@@ -145,10 +145,17 @@ class VocoderReceiver:
         """``backend='pallas'`` (or 'auto' -> pallas on TPU) runs decode
         through the fused segment pipeline (ops/vocoder_kernel.py) with the
         codebook lookup in-kernel — single stream on the default device
-        only; other cases (and topologies the kernel can't assemble) use
-        the jitted XLA step.  The fused caches are chunk-size-agnostic
-        ``(ctx, lanes)`` tails, so the long priming call and the
-        steady-state frames compile separately but share one cache."""
+        only; ``batch > 1`` routes through the stacked batched vocoder
+        kernel (ops/vocoder_stacked.py, v1 MultiGroupConv1d family, B
+        streams stacked along sublanes). Other cases (and topologies the
+        kernels can't assemble — the AssertionError fallback) use the
+        jitted XLA step.  The fused/stacked caches are chunk-size-agnostic
+        ``(ctx, lanes)`` / ``(B*ctx, lanes)`` tails, so the long priming
+        call and the steady-state frames compile separately but share one
+        cache. Measured guidance (docs/SCALING.md): the single-stream
+        pipeline beats XLA ~7x; the stacked kernel is a completeness
+        surface — at B=4 it measures ~95 us/stream-frame vs the XLA batch
+        path, so 'auto' on TPU is only flipped for batch == 1."""
         self.codec_gen = codec_gen
         self.vocoder = vocoder
         self.device = device
@@ -166,6 +173,9 @@ class VocoderReceiver:
         self._fused_ok = backend == "pallas" and batch == 1 and device is None
         self._fused_runs = {}  # T_codes -> jitted run
         self._fused_init = None
+        self._stacked_ok = backend == "pallas" and batch > 1 and device is None
+        self._stacked_runs = {}  # T_codes -> jitted run
+        self._stacked_init = None
         self._weight_dtype = weight_dtype
         self._seg_budget = seg_budget_bytes
         self._interpret = interpret
@@ -182,9 +192,31 @@ class VocoderReceiver:
                                     self.device)
         if self._fused_init is not None:
             self._fused_cache = self._fused_init()
+        if self._stacked_init is not None:
+            self._stacked_cache = self._stacked_init()
 
     def initial_decoder(self, idx):
         return self.decode(idx)
+
+    def _get_stacked(self, t_codes: int):
+        run = self._stacked_runs.get(t_codes)
+        if run is None:
+            from dl_speech_enhancement_tpu.ops.vocoder_stacked import (
+                make_stacked_vocoder,
+            )
+            kw = ({} if self._weight_dtype is None
+                  else {"weight_dtype": self._weight_dtype})
+            init, run = make_stacked_vocoder(
+                self.vocoder, self.params,
+                chunk=t_codes * self.vocoder.total_upsample,
+                batch=self.batch, vq_embed=self._vq_embed,
+                interpret=self._interpret, **kw)
+            run = jax.jit(run)
+            if self._stacked_init is None:
+                self._stacked_init = init
+                self._stacked_cache = init()
+            self._stacked_runs[t_codes] = run
+        return run
 
     def _get_fused(self, t_codes: int):
         run = self._fused_runs.get(t_codes)
@@ -219,6 +251,17 @@ class VocoderReceiver:
             else:
                 y, self._fused_cache = run(self._fused_cache, arr)
                 return y[:, :, None]
+        if self._stacked_ok:
+            # wire idx (L, B, T) -> (B, T, L); raw features stay (B, T, D);
+            # the stacked run consumes one N=1 frame block (N, B, T, .)
+            arr = jnp.transpose(idx, (1, 2, 0)) if self.use_pqc else idx
+            try:
+                run = self._get_stacked(arr.shape[1])
+            except AssertionError:  # topology the kernel doesn't cover
+                self._stacked_ok = False
+            else:
+                y, self._stacked_cache = run(self._stacked_cache, arr[None])
+                return y[0][:, :, None]
         y, new_cache = self._step(self.params, self.flat_cb, self.cache, idx)
         self.cache = new_cache
         return y
@@ -253,6 +296,14 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     halves VMEM weight residency). For a PQC transmitter that must emit
     bit-identical wire codes to an XLA peer, pass ``jnp.float32`` (see
     make_mega_stream's docstring on near-tie codeword assignment).
+
+    PQC wire-code access: when the returned callable is a fused PQC
+    route (mega batch=1 or stacked batch>1), it carries a
+    ``run_with_codes(cache, frames) -> (audio, cache, codes)`` attribute
+    returning the int32 flattened wire indices the kernel computed in
+    the same dispatch (``(N, T_code, n_books)`` for batch=1,
+    ``(N, B, T_code, n_books)`` for batch>1) — use it for transmitters
+    that must emit the bitstream (reference utils/audiodec.py:96-103).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
@@ -280,6 +331,17 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                         out, new_cache, _codes = mega_run(
                             cache, frames[:, 0, :, 0])
                         return out[:, None, :, None], new_cache
+
+                    # PQC transmitters need the wire bitstream the kernel
+                    # just computed (ADVICE r4): same dispatch, three
+                    # returns — codes (N, T_code, n_books) int32
+                    @jax.jit
+                    def run_mega_codes(cache, frames):
+                        out, new_cache, codes = mega_run(
+                            cache, frames[:, 0, :, 0])
+                        return out[:, None, :, None], new_cache, codes
+
+                    run_mega.run_with_codes = run_mega_codes
                 else:
                     @jax.jit
                     def run_mega(cache, frames):
@@ -314,6 +376,16 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                     out, new_cache, _codes = stk_run(cache,
                                                      frames[:, :, :, 0])
                     return out[:, :, :, None], new_cache
+
+                # wire-code access for batched PQC transmitters (ADVICE
+                # r4): codes (N, B, T_code, n_books) int32
+                @jax.jit
+                def run_stacked_codes(cache, frames):
+                    out, new_cache, codes = stk_run(cache,
+                                                    frames[:, :, :, 0])
+                    return out[:, :, :, None], new_cache, codes
+
+                run_stacked.run_with_codes = run_stacked_codes
             else:
                 @jax.jit
                 def run_stacked(cache, frames):

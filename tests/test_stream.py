@@ -401,3 +401,42 @@ def test_scan_stream_pqc_mega_path_matches_xla(pqc_model, rng):
     ys32, _ = run_f32(run_f32.init_cache(), frames)
     np.testing.assert_allclose(np.asarray(ys32) / scale,
                                np.asarray(ys_ref) / scale, atol=1e-4)
+
+
+def test_vocoder_receiver_stacked_batch(pqc_model, rng):
+    """VocoderReceiver(batch>1, backend='pallas') routes through the
+    stacked batched vocoder kernel (ops/vocoder_stacked.py — VERDICT r4
+    #5) and matches the XLA batched receiver stream for stream."""
+    import jax
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    from dl_speech_enhancement_tpu.stream.runtime import (
+        StreamingTransmitter, VocoderReceiver,
+    )
+
+    gen, params, vq_state = pqc_model
+    # v1-family topology (MultiGroupConv1d fusion) at toy size; the
+    # stacked kernel covers exactly this decoder family
+    voc = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=24, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(5,), resblock_dilations=((1, 3),),
+        groups=3)
+    v_params = voc.init(jax.random.PRNGKey(9))
+    B = 3
+    tx = StreamingTransmitter(gen, params, vq_state, batch=B)
+    rx_stk = VocoderReceiver(gen, voc, v_params, vq_state, batch=B,
+                             backend="pallas", weight_dtype=jnp.float32,
+                             interpret=True)
+    rx_xla = VocoderReceiver(gen, voc, v_params, vq_state, batch=B,
+                             backend="xla")
+    frame = gen.hop * 2
+    for i in range(3):
+        chunk = jnp.asarray(
+            rng.standard_normal((B, frame, 1)).astype(np.float32) * 0.3)
+        idx = tx.encode(chunk)
+        y_stk = rx_stk.decode(idx)
+        y_xla = rx_xla.decode(idx)
+        assert rx_stk._stacked_ok, "stacked route must be taken"
+        assert y_stk.shape == y_xla.shape == (B, frame, 1)
+        np.testing.assert_allclose(np.asarray(y_stk), np.asarray(y_xla),
+                                   atol=3e-5, err_msg=f"chunk {i}")
