@@ -79,27 +79,41 @@ class _Seg:
 
 
 class _Plan:
-    """Collects logical ops, then packs them into segments by weight size."""
+    """Collects logical ops, then packs them into segments by VMEM cost."""
 
-    def __init__(self, weight_dtype, budget_bytes):
+    def __init__(self, weight_dtype, budget_bytes, transient_mode="max"):
         self.wd = weight_dtype
         self.wbytes = 2 if weight_dtype == jnp.bfloat16 else 4
         self.budget = budget_bytes
-        self.pending = []  # (cost_bytes, entry_len, rows_in, lanes_in, build)
+        assert transient_mode in ("max", "sum")
+        self.transient_mode = transient_mode
+        # (persist_bytes, trans_bytes, entry_len, rows_in, lanes_in, build)
+        self.pending = []
         self.t = None      # current rows
         self.hlen = 1      # current list length
         self.lanes = None
 
     def add(self, weight_params, build, out_len, out_rows, out_lanes,
-            extra_bytes=0):
-        """``extra_bytes`` estimates the op's non-weight scoped-VMEM demand
-        (cache-site scratch + live f32 temporaries + f32 consts like the
-        interleave matrices) — the deep 1200-row stages are dominated by it,
-        not by weights, and the TPU's scoped-VMEM stack (~16 MB) OOMs if the
-        packer counts weights alone (observed on-chip for the AudioDec v1
-        tail segment: 18.5 MB scoped demand from <1 MB of weights)."""
+            persist_bytes=0, trans_bytes=0):
+        """Two-part scoped-VMEM estimate per op (the deep 1200-row stages
+        are dominated by non-weight demand, and the TPU's scoped-VMEM
+        stack (~16 MB) OOMs if the packer counts weights alone — observed
+        on-chip for the AudioDec v1 tail segment: 18.5 MB scoped demand
+        from <1 MB of weights):
+
+        - ``persist_bytes``: demand live for the whole kernel — cache-site
+          scratch buffers and f32/wd consts beyond the weights (e.g. the
+          upsample interleave matrices). Summed across the segment's ops.
+        - ``trans_bytes``: live f32 temporaries *during* this op only
+          (activation windows, masks, accumulators). Mosaic reuses this
+          space between ops, so the segment charge is the MAX over its ops
+          (round-5 repack: sum-counting transients forced the v1 preset
+          into 14 segments and the pipeline is segment-issue bound —
+          docs/SCALING.md vocoder roofline). ``transient_mode='sum'``
+          restores the conservative round-4 accounting for A/B.
+        """
         self.pending.append(
-            (weight_params * self.wbytes + extra_bytes,
+            (weight_params * self.wbytes + persist_bytes, trans_bytes,
              self.hlen, self.t, self.lanes, build)
         )
         self.hlen, self.t, self.lanes = out_len, out_rows, out_lanes
@@ -107,16 +121,24 @@ class _Plan:
     def pack(self, in_rows, in_lanes, in_dtype):
         segs = []
         cur = None
-        used = 0
-        for cost, elen, rows, lanes, build in self.pending:
-            if cur is None or (used + cost > self.budget and cur.ops):
+        persist = 0
+        trans = 0
+        for p_cost, t_cost, elen, rows, lanes, build in self.pending:
+            if self.transient_mode == "max":
+                new_trans = max(trans, t_cost)
+            else:
+                new_trans = trans + t_cost
+            if cur is None or (persist + p_cost + new_trans > self.budget
+                               and cur.ops):
                 if cur is not None:
                     segs.append(cur)
                 cur = _Seg(f"voc{len(segs)}")
                 cur.in_len, cur.in_rows, cur.in_lanes = elen, rows, lanes
-                used = 0
+                persist = 0
+                new_trans = t_cost
             build(cur)
-            used += cost
+            persist += p_cost
+            trans = new_trans
         segs.append(cur)
         segs[0].in_rows, segs[0].in_lanes = in_rows, in_lanes
         segs[0].in_dtype = in_dtype
@@ -154,7 +176,8 @@ def _tap_conv(v, w, rows, taps, dilation, bias=None):
 def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
                       interpret=False, vq_embed=None,
                       seg_budget_bytes=9_000_000,
-                      group_pack_max_lanes=128):
+                      group_pack_max_lanes=128,
+                      transient_mode="max"):
     """Build the fused streaming pipeline for a causal HiFiGAN generator.
 
     Returns ``(init_cache, run)``:
@@ -178,6 +201,10 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
     ``groups * per-group channels`` fit within this lane count run
     group-packed — block-diagonal dense tap matmuls instead of per-group
     ones (3x fewer matmul issues on the deep narrow stages; 0 disables).
+    ``transient_mode``: how per-op live-temporary estimates combine within
+    a segment — 'max' (default; Mosaic reuses temp space between ops, so
+    the tail stages merge into few fat segments) or 'sum' (the
+    conservative round-4 accounting; 14 segments on the v1 preset).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -195,7 +222,7 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
     wd = weight_dtype
     slope = voc.negative_slope
 
-    plan = _Plan(wd, seg_budget_bytes)
+    plan = _Plan(wd, seg_budget_bytes, transient_mode=transient_mode)
     plan.t = z_rows
     in_ch = voc.input_conv.in_channels
 
@@ -223,8 +250,9 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(embed.size * 2, build_lookup, 1, z_rows, in_ch,
-                 extra_bytes=6 * z_rows * _pad_lanes(book_k) * 4)
+        plan.add(0, build_lookup, 1, z_rows, in_ch,
+                 persist_bytes=embed.size * 4,  # codebooks stay f32 consts
+                 trans_bytes=6 * z_rows * _pad_lanes(book_k) * 4)
         in_dtype = jnp.int32
         in_lanes = n_books
     else:
@@ -260,8 +288,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         seg.ops.append(body)
 
     plan.add(w_in.size, build_input, 1, z_rows, ch0,
-             extra_bytes=((k_in - 1 + z_rows) * _pad_lanes(w_in.shape[1])
-                          + 6 * z_rows * _pad_lanes(ch0)) * 4)
+             persist_bytes=(k_in - 1 + z_rows) * _pad_lanes(w_in.shape[1]) * 4,
+             trans_bytes=6 * z_rows * _pad_lanes(ch0) * 4)
 
     # ---- per-stage: leaky -> upsample -> fusion ----
     def add_upsample(si, up, up_p, t_in):
@@ -303,9 +331,9 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
             seg.ops.append(body)
 
         plan.add(wup.size, build, 1, t_out, c_out,
-                 extra_bytes=(t_out * _pad_lanes(t_in)  # f32 rep matrix
-                              + (t_in + 1) * _pad_lanes(c_in)
-                              + (s + 4) * t_out * _pad_lanes(c_out)) * 4)
+                 persist_bytes=(t_out * _pad_lanes(t_in)  # rep-matrix const
+                                + (t_in + 1) * _pad_lanes(c_in)) * 4,
+                 trans_bytes=(s + 4) * t_out * _pad_lanes(c_out) * 4)
         return t_out
 
     def add_resunit(uid, conv1, conv2, p1, p2, groups, c, rows, entry_len,
@@ -326,9 +354,10 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
             b2 = np.asarray(p2.get("b", np.zeros(w2.shape[2])))
         wsize = w1.size + (w2.size if conv2 is not None else 0)
         slots = list(range(groups)) if slot is None else [slot]
-        extra = groups * ((pad1 + rows)
-                          + ((pad2 + rows) if conv2 is not None else 0)
-                          + 6 * rows) * _pad_lanes(c) * 4
+        persist = groups * ((pad1 + rows)
+                            + ((pad2 + rows) if conv2 is not None else 0)
+                            ) * _pad_lanes(c) * 4
+        trans = groups * 6 * rows * _pad_lanes(c) * 4
 
         def build(seg):
             for g in range(groups):
@@ -362,7 +391,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(wsize, build, entry_len, rows, c, extra_bytes=extra)
+        plan.add(wsize, build, entry_len, rows, c, persist_bytes=persist,
+                 trans_bytes=trans)
 
     def add_resunit_packed(uid, conv1, conv2, p1, p2, groups, c, rows,
                            entry_len):
@@ -394,9 +424,10 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
                 w2bd[:, g * c : (g + 1) * c, g * c : (g + 1) * c] = (
                     w2[:, :, g * c : (g + 1) * c])
         wsize = w1bd.size + (w2bd.size if conv2 is not None else 0)
-        extra = ((pad1 + rows)
-                 + ((pad2 + rows) if conv2 is not None else 0)
-                 + 6 * rows) * _pad_lanes(gc) * 4
+        persist = ((pad1 + rows)
+                   + ((pad2 + rows) if conv2 is not None else 0)
+                   ) * _pad_lanes(gc) * 4
+        trans = 6 * rows * _pad_lanes(gc) * 4
 
         def build(seg):
             seg.consts.add(f"{uid}w1", w1bd.astype(wd))
@@ -422,7 +453,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             seg.ops.append(body)
 
-        plan.add(wsize, build, entry_len, rows, gc, extra_bytes=extra)
+        plan.add(wsize, build, entry_len, rows, gc, persist_bytes=persist,
+                 trans_bytes=trans)
 
     def add_mgc(si, mgc, p, rows, group_pack_max_lanes=128):
         """MultiGroupConv1d: tile x groups-fold, grouped resblock, 1x1 fuse
@@ -446,7 +478,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
                 seg.ops.append(body)
 
-            plan.add(0, build_tile_packed, 1, rows, gc)
+            plan.add(0, build_tile_packed, 1, rows, gc,
+                     trans_bytes=2 * rows * _pad_lanes(gc) * 4)
 
             for ui, conv1 in enumerate(blk.convs1):
                 conv2 = blk.convs2[ui] if blk.use_additional_convs else None
@@ -463,7 +496,7 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
                 seg.ops.append(body)
 
             plan.add(wf.size, build_fuse_packed, 1, rows, c,
-                     extra_bytes=3 * rows * _pad_lanes(gc) * 4)
+                     trans_bytes=3 * rows * _pad_lanes(gc) * 4)
             return
 
         def build_tile(seg):
@@ -495,7 +528,7 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
             seg.ops.append(body)
 
         plan.add(wf.size, build_fuse, 1, rows, c,
-                 extra_bytes=(groups + 2) * rows * _pad_lanes(c) * 4)
+                 trans_bytes=(groups + 2) * rows * _pad_lanes(c) * 4)
 
     def add_mrf(si, mrf, p, rows):
         """MultiReceptiveField: average of resblocks over the SAME entrance
@@ -575,8 +608,8 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         seg.ops.append(body)
 
     plan.add(w_out.size, build_output, 1, chunk, n_out,
-             extra_bytes=((k_out - 1 + chunk) * _pad_lanes(c_last)
-                          + 6 * chunk * _pad_lanes(c_last)) * 4)
+             persist_bytes=(k_out - 1 + chunk) * _pad_lanes(c_last) * 4,
+             trans_bytes=6 * chunk * _pad_lanes(c_last) * 4)
 
     segs = plan.pack(z_rows, in_lanes, in_dtype)
 

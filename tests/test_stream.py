@@ -440,3 +440,38 @@ def test_vocoder_receiver_stacked_batch(pqc_model, rng):
         assert y_stk.shape == y_xla.shape == (B, frame, 1)
         np.testing.assert_allclose(np.asarray(y_stk), np.asarray(y_xla),
                                    atol=3e-5, err_msg=f"chunk {i}")
+
+
+def test_vocoder_receiver_stacked_mrf_falls_back(pqc_model, rng):
+    """v0/v2/v3-family MultiReceptiveField decoders are outside the stacked
+    batched kernel's coverage (a recorded negative: ~3x the audio-rate
+    cache sites of the v1 grouped family — docs/SCALING.md round-5 MRF
+    note). The receiver must fall back to the XLA batch path gracefully
+    and still produce the right audio."""
+    import jax
+    from dl_speech_enhancement_tpu.models import HiFiGANGenerator
+    from dl_speech_enhancement_tpu.stream.runtime import (
+        StreamingTransmitter, VocoderReceiver,
+    )
+
+    gen, params, vq_state = pqc_model
+    # groups=1 => MultiReceptiveField fusion (the v0 topology shape)
+    voc = HiFiGANGenerator(
+        in_channels=16, out_channels=1, channels=24, kernel_size=7,
+        upsample_scales=(4, 3), upsample_kernel_sizes=(8, 6),
+        resblock_kernel_sizes=(3, 5), resblock_dilations=((1, 3), (1, 3)),
+        groups=1)
+    v_params = voc.init(jax.random.PRNGKey(9))
+    B = 2
+    tx = StreamingTransmitter(gen, params, vq_state, batch=B)
+    rx = VocoderReceiver(gen, voc, v_params, vq_state, batch=B,
+                         backend="pallas", interpret=True)
+    rx_ref = VocoderReceiver(gen, voc, v_params, vq_state, batch=B,
+                             backend="xla")
+    chunk = jnp.asarray(
+        rng.standard_normal((B, gen.hop * 2, 1)).astype(np.float32) * 0.3)
+    idx = tx.encode(chunk)
+    y = rx.decode(idx)
+    assert not rx._stacked_ok  # fell back, stays off
+    y_ref = rx_ref.decode(idx)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)

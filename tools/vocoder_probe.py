@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--group-pack-max-lanes", type=int, default=128,
                     help="0 disables MultiGroupConv1d group packing "
                     "(the on/off A/B for docs/SCALING.md)")
+    ap.add_argument("--transient-mode", default="max", choices=["max", "sum"],
+                    help="per-op temporary accounting in the packer: 'max' "
+                    "(round-5 merged packing) or 'sum' (round-4, 14 segs)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,8 @@ def main():
 
     init_cache, mega_run = make_mega_vocoder(
         voc, params, chunk, weight_dtype=wd, seg_budget_bytes=args.budget,
-        group_pack_max_lanes=args.group_pack_max_lanes)
+        group_pack_max_lanes=args.group_pack_max_lanes,
+        transient_mode=args.transient_mode)
     print(f"segments: {mega_run.num_segments} "
           f"(group_pack_max_lanes={args.group_pack_max_lanes})")
 
