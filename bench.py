@@ -643,12 +643,27 @@ def main():
                 step_flops = float(an["flops"])
         except Exception:
             pass
+        # fence on the LAST-written outputs (a D-phase optimizer leaf +
+        # a G param leaf, one tiny dispatch = one RTT): fetching the
+        # early-produced g scalar can under-measure schedules where the
+        # loss materializes before the D phase finishes (round-5 fence
+        # probe, docs/SCALING.md training profile)
+        @jax.jit
+        def _leafsum(a, b):
+            return jnp.sum(a) + jnp.sum(b)
+
+        def fence(st_):
+            return float(_leafsum(
+                jax.tree_util.tree_leaves(st_["opt_discriminator"])[-1],
+                jax.tree_util.tree_leaves(st_["params_generator"])[-1]))
+
+        _ = fence(st)
         rtt = measure_rtt(6)
         walls = []
         for _ in range(6):
             t0 = time.perf_counter()
             st, g, d, _, _ = stepfn(st, x, y)
-            _ = float(g)
+            _ = fence(st)
             walls.append(time.perf_counter() - t0)
             if len(walls) >= 3 and remaining() < 0:
                 break

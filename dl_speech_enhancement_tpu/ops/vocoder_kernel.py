@@ -456,19 +456,106 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
         plan.add(wsize, build, entry_len, rows, gc, persist_bytes=persist,
                  trans_bytes=trans)
 
+    def add_resunit_chunked(uid, conv1, conv2, p1, p2, sizes, groups, c,
+                            rows):
+        """Chunk-packed dilation unit: the per-group convs run as
+        ``len(sizes)`` block-diagonal dense matmuls of ``size*c`` lanes
+        each (the last chunk may carry zero-weight dummy groups so all
+        chunks share a lane count — segment boundaries stack the carry
+        list, which requires uniform shapes).  Rationale: Mosaic pads
+        every matmul operand to 128 lanes, so a per-group (rows, c<128)
+        tap matmul costs the same as a (rows, 128) one — fusing ``size``
+        groups per issue cuts the stage's padded FLOPs by ``size``x
+        (docs/SCALING.md round-5 'Vocoder segment merging' roofline)."""
+        n_chunks = len(sizes)
+        gpc = sizes[0]
+        cc = gpc * c  # uniform chunk lanes
+        k1, d1 = conv1.kernel_size, conv1.dilation
+        pad1 = (k1 - 1) * d1
+        w1 = np.asarray(conv1.weight(p1))  # (k, c, groups*c)
+        b1 = np.asarray(p1.get("b", np.zeros(w1.shape[2])))
+        if conv2 is not None:
+            k2, d2 = conv2.kernel_size, conv2.dilation
+            pad2 = (k2 - 1) * d2
+            w2 = np.asarray(conv2.weight(p2))
+            b2 = np.asarray(p2.get("b", np.zeros(w2.shape[2])))
+
+        def chunk_blockdiag(w, j):
+            bd = np.zeros((w.shape[0], cc, cc), w.dtype)
+            for gi in range(sizes[j]):
+                g = j * gpc + gi
+                if g < groups:
+                    bd[:, gi * c : (gi + 1) * c, gi * c : (gi + 1) * c] = (
+                        w[:, :, g * c : (g + 1) * c])
+            return bd
+
+        def chunk_bias(b, j):
+            cb = np.zeros(cc, b.dtype)
+            for gi in range(sizes[j]):
+                g = j * gpc + gi
+                if g < groups:
+                    cb[gi * c : (gi + 1) * c] = b[g * c : (g + 1) * c]
+            return cb
+
+        wsize = n_chunks * (k1 * cc * cc
+                            + (k2 * cc * cc if conv2 is not None else 0))
+        persist = n_chunks * ((pad1 + rows)
+                              + ((pad2 + rows) if conv2 is not None else 0)
+                              ) * _pad_lanes(cc) * 4
+        trans = 6 * rows * _pad_lanes(cc) * 4
+
+        def build(seg):
+            for j in range(n_chunks):
+                seg.consts.add(f"{uid}w1x{j}", chunk_blockdiag(w1, j)
+                               .astype(wd))
+                seg.consts.add(f"{uid}b1x{j}", chunk_bias(b1, j)
+                               .reshape(1, -1).astype(np.float32))
+                seg.cache(f"{uid}c1x{j}", pad1, cc, rows)
+                if conv2 is not None:
+                    seg.consts.add(f"{uid}w2x{j}", chunk_blockdiag(w2, j)
+                                   .astype(wd))
+                    seg.consts.add(f"{uid}b2x{j}", chunk_bias(b2, j)
+                                   .reshape(1, -1).astype(np.float32))
+                    seg.cache(f"{uid}c2x{j}", pad2, cc, rows)
+
+            def body(i, hs, site, C):
+                out = list(hs)
+                for j in range(n_chunks):
+                    x = hs[j]
+                    v = site(f"{uid}c1x{j}", pad1, _leaky(x, slope))
+                    xt = _tap_conv(v.astype(wd), C[f"{uid}w1x{j}"], rows,
+                                   k1, d1, C[f"{uid}b1x{j}"][...])
+                    if conv2 is not None:
+                        v = site(f"{uid}c2x{j}", pad2, _leaky(xt, slope))
+                        xt = _tap_conv(v.astype(wd), C[f"{uid}w2x{j}"],
+                                       rows, k2, d2, C[f"{uid}b2x{j}"][...])
+                    out[j] = xt + x
+                return out
+
+            seg.ops.append(body)
+
+        plan.add(wsize, build, n_chunks, rows, cc, persist_bytes=persist,
+                 trans_bytes=trans)
+
     def add_mgc(si, mgc, p, rows, group_pack_max_lanes=128):
         """MultiGroupConv1d: tile x groups-fold, grouped resblock, 1x1 fuse
         (multi_fusion.py:82-141).  When ``groups * c`` fits within
         ``group_pack_max_lanes`` the whole block runs group-packed (see
         add_resunit_packed): tile is a lane-concat, units are block-diag
         dense matmuls, and the 1x1 fuse is its natural single dense
-        ``(groups*c, c)`` matmul."""
+        ``(groups*c, c)`` matmul.  When only PART of the groups fit a
+        128-lane tile (e.g. the v1 preset's stage 2: groups=3, c=64),
+        the block runs CHUNK-packed: ceil(groups/(max_lanes//c)) uniform
+        block-diagonal chunks, dummy zero-weight groups padding the last
+        chunk (see add_resunit_chunked)."""
         groups = mgc.groups
         blk = mgc.block
         bp = p["block"]
         c = blk.convs1[0].in_channels // groups
         gc = groups * c
         packed = gc <= group_pack_max_lanes
+        gpc = (max(1, group_pack_max_lanes // c)
+               if group_pack_max_lanes else 1)
         wf = np.asarray(mgc.conv_out.weight(p["conv_out"]))[0]  # (g*c, c)
 
         if packed:
@@ -497,6 +584,53 @@ def make_mega_vocoder(voc, params, chunk, weight_dtype=jnp.bfloat16,
 
             plan.add(wf.size, build_fuse_packed, 1, rows, c,
                      trans_bytes=3 * rows * _pad_lanes(gc) * 4)
+            return
+
+        if gpc >= 2:
+            # chunk-packed: uniform chunks of gpc groups (last padded with
+            # zero-weight dummies), each a block-diag dense matmul
+            n_chunks = -(-groups // gpc)
+            sizes = [gpc] * n_chunks
+            cc = gpc * c
+
+            def build_tile_chunked(seg):
+                def body(i, hs, site, C):
+                    return [jnp.concatenate([hs[0]] * gpc, axis=1)
+                            for _ in range(n_chunks)]
+
+                seg.ops.append(body)
+
+            plan.add(0, build_tile_chunked, n_chunks, rows, cc,
+                     trans_bytes=2 * rows * _pad_lanes(cc) * 4)
+
+            for ui, conv1 in enumerate(blk.convs1):
+                conv2 = blk.convs2[ui] if blk.use_additional_convs else None
+                p2 = bp["convs2"][ui] if blk.use_additional_convs else None
+                add_resunit_chunked(f"s{si}u{ui}", conv1, conv2,
+                                    bp["convs1"][ui], p2, sizes, groups, c,
+                                    rows)
+
+            def build_fuse_chunked(seg):
+                for j in range(n_chunks):
+                    wfj = np.zeros((cc, wf.shape[1]), wf.dtype)
+                    for gi in range(gpc):
+                        g = j * gpc + gi
+                        if g < groups:
+                            wfj[gi * c : (gi + 1) * c] = (
+                                wf[g * c : (g + 1) * c])
+                    seg.consts.add(f"s{si}fx{j}", wfj.astype(wd))
+
+                def body(i, hs, site, C):
+                    y = None
+                    for j in range(n_chunks):
+                        t = _dot(hs[j].astype(wd), C[f"s{si}fx{j}"][...])
+                        y = t if y is None else y + t
+                    return [y]
+
+                seg.ops.append(body)
+
+            plan.add(wf.size, build_fuse_chunked, 1, rows, c,
+                     trans_bytes=(n_chunks + 2) * rows * _pad_lanes(cc) * 4)
             return
 
         def build_tile(seg):

@@ -78,6 +78,25 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
     # discriminator exposing num_subs/apply_sub (HiFiGANDiscriminator).
     remat_disc = (config.get("discriminator_remat", False)
                   and hasattr(disc, "apply_sub"))
+    # EXTENSION (opt-in, default f32): run every discriminator pass in
+    # bfloat16 — params and waveform inputs cast at the call boundary,
+    # loss arithmetic back in f32. The adversarial step is ~89%
+    # discriminator work (docs/SCALING.md round-5 training profile), and
+    # the D zoo's cost is feature-map bytes + padded grouped-conv lanes,
+    # both halved by bf16. Changes training numerics (GAN trajectories
+    # diverge chaotically under ANY perturbation — see the precision
+    # probe table) so it is config-gated: `discriminator_dtype: bf16`.
+    d_dtype = {"float32": None, "bf16": jnp.bfloat16,
+               "bfloat16": jnp.bfloat16}[
+        str(config.get("discriminator_dtype", "float32"))]
+
+    def _disc_apply(params_d, wav):
+        if d_dtype is None:
+            return disc(params_d, wav)
+        pd16 = jax.tree_util.tree_map(lambda a: a.astype(d_dtype), params_d)
+        outs = disc(pd16, wav.astype(d_dtype))
+        return jax.tree_util.tree_map(
+            lambda f: f.astype(jnp.float32), outs)
     # gradient accumulation: split each batch into `grad_accum` equal
     # microbatches, lax.scan the loss+grad over them and apply ONE optimizer
     # update on the averaged gradients — grows the effective batch past the
@@ -91,12 +110,20 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
     # ~1e-4 relative of the full-batch value at these loss scales.
     grad_accum = int(config.get("grad_accum", 1))
 
+    def _disc_apply_sub(params_d, i, wav):
+        if d_dtype is None:
+            return disc.apply_sub(params_d, i, wav)
+        pd16 = jax.tree_util.tree_map(lambda a: a.astype(d_dtype), params_d)
+        outs = disc.apply_sub(pd16, i, wav.astype(d_dtype))
+        return jax.tree_util.tree_map(
+            lambda f: f.astype(jnp.float32), outs)
+
     def _adv_fm_remat(params_d, y, target):
         adv_terms, fm_terms = [], []
         for i in range(disc.num_subs):
             def one(y_, t_, pd, i=i):
-                q_ = disc.apply_sub(pd, i, y_)
-                q = disc.apply_sub(pd, i, t_)
+                q_ = _disc_apply_sub(pd, i, y_)
+                q = _disc_apply_sub(pd, i, t_)
                 # single-element nested lists: the losses' per-discriminator
                 # averaging divides by 1, yielding the raw contribution
                 return gen_adv([q_]), feat_match([q_], [q])
@@ -124,9 +151,9 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
                 adv = l_adv * adv
                 fm = l_fm * fm
             else:
-                p_ = disc(params_d, y)
+                p_ = _disc_apply(params_d, y)
                 p = jax.tree_util.tree_map(jax.lax.stop_gradient,
-                                           disc(params_d, target))
+                                           _disc_apply(params_d, target))
                 adv = l_adv * gen_adv(y if compat_adv else p_)
                 fm = l_fm * feat_match(p_, p)
             total = total + adv + fm
@@ -138,15 +165,15 @@ def make_course_steps(gen, disc, config, opt_g, opt_d):
             terms = []
             for i in range(disc.num_subs):
                 def one(pd, y_, t_, i=i):
-                    q = disc.apply_sub(pd, i, t_)
-                    q_ = disc.apply_sub(pd, i, y_)
+                    q = _disc_apply_sub(pd, i, t_)
+                    q_ = _disc_apply_sub(pd, i, y_)
                     r, f = dis_adv([q_], [q])
                     return r + f
                 terms.append(jax.checkpoint(one)(params_d, y, target))
             n = disc.num_subs
             return l_adv * (sum(terms) / (n if dis_adv.average else 1))
-        p = disc(params_d, target)
-        p_ = disc(params_d, y)
+        p = _disc_apply(params_d, target)
+        p_ = _disc_apply(params_d, y)
         real, fake = dis_adv(p_, p)
         return l_adv * (real + fake)
 

@@ -566,3 +566,56 @@ def test_adam_weight_decay_matches_torch_coupled_l2(rng):
         tp.grad = torch.tensor(g)
         topt.step()
     np.testing.assert_allclose(np.asarray(p), tp.detach().numpy(), atol=2e-6)
+
+
+def test_discriminator_dtype_bf16_extension(rng):
+    """`discriminator_dtype: bf16` (EXTENSION, opt-in) runs every
+    discriminator pass in bfloat16. The adversarial step stays finite and
+    close to the f32 step at bf16 tolerance; the default config is
+    bit-identical to the pre-knob behavior (same jaxpr path)."""
+    kw = dict(use_pqc=False, encode_channels=4, decode_channels=4,
+              enc_ratios=(2, 4), enc_strides=(2, 2),
+              dec_ratios=(4, 2), dec_strides=(2, 2), code_dim=8)
+    gen = AudioDecGenerator(**kw)
+    disc = HiFiGANDiscriminator(**TINY_DISC)
+    base = dict(
+        mel_loss_params=dict(fs=2400, fft_sizes=[64], hop_sizes=[16],
+                             win_lengths=[None], num_mels=8, fmin=0,
+                             fmax=1200, log_base=None),
+        lambda_mel_loss=45.0, lambda_snr_loss=1.0, lambda_adv=1.0,
+        lambda_feat_match=2.0,
+    )
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    params_g, _ = gen.init(kg)
+    params_d = disc.init(kd)
+    opt_g = build_optimizer("Adam", {"lr": 1e-3}, grad_norm=10.0)
+    opt_d = build_optimizer("Adam", {"lr": 2e-4}, grad_norm=10.0)
+    x = jnp.asarray(rng.standard_normal((2, 96, 1)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((2, 96, 1)).astype(np.float32) * 0.1)
+
+    def one(dtype):
+        cfg = dict(base) if dtype is None else dict(
+            base, discriminator_dtype=dtype)
+        step = make_course_steps(gen, disc, cfg, opt_g, opt_d)["train_disc"]
+        copy = lambda tree: jax.tree_util.tree_map(jnp.copy, tree)
+        state = {
+            "params_generator": copy(params_g),
+            "params_discriminator": copy(params_d),
+            "opt_generator": opt_g.init(copy(params_g)),
+            "opt_discriminator": opt_d.init(copy(params_d)),
+        }
+        _, g_loss, d_loss, frags, _ = step(state, x, t)
+        return (float(g_loss), float(d_loss),
+                {k: float(v) for k, v in frags.items()})
+
+    g32, d32, f32_ = one(None)
+    g32b, d32b, _ = one("float32")   # explicit f32 == default
+    g16, d16, f16 = one("bf16")
+    np.testing.assert_allclose(g32, g32b, rtol=0)
+    np.testing.assert_allclose(d32, d32b, rtol=0)
+    assert np.isfinite(g16) and np.isfinite(d16)
+    # bf16 has ~3 decimal digits; adversarial/FM fragments should agree
+    # loosely and the metric fragments exactly (mel/snr are all-f32)
+    np.testing.assert_allclose(f16["mel_loss"], f32_["mel_loss"], rtol=1e-5)
+    np.testing.assert_allclose(g16, g32, rtol=0.1)
+    np.testing.assert_allclose(d16, d32, rtol=0.15)

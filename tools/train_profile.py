@@ -26,9 +26,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rtt_subtracted(fn, fence, n=5):
@@ -99,6 +103,7 @@ def main():
         generator_adv_loss_params={"average_by_discriminators": False},
         discriminator_adv_loss_params={"average_by_discriminators": False},
         discriminator_remat=remat,
+        discriminator_dtype="bf16" if args.variant == "bf16d" else "float32",
     )
     kg, kd = jax.random.split(jax.random.PRNGKey(0))
     pg, _ = gen.init(kg)
@@ -136,61 +141,121 @@ def main():
 
     # ---- primitives ----
     if "g_fwd" in parts:
+        # NB arrays ride as ARGUMENTS — jit-closures over device arrays
+        # inline them as constants (CLAUDE.md: remote compile rejects big
+        # bodies with HTTP 413, and XLA constant-folds the whole forward)
         @jax.jit
-        def g_fwd():
-            y, *_ = gen(pg, None, x, train=True)
+        def g_fwd(pg_, x_):
+            y, *_ = gen(pg_, None, x_, train=True)
             return jnp.sum(jnp.square(y))
 
-        dt, sp = rtt_subtracted(g_fwd, float)
+        dt, sp = rtt_subtracted(lambda: g_fwd(pg, x), float)
         out["g_fwd_ms"] = round(dt * 1e3, 1)
+        print("g_fwd_ms", out["g_fwd_ms"], file=sys.stderr)
 
     if "mel_grad" in parts:
         @jax.jit
-        def mel_grad():
+        def mel_grad(x_, t_):
             def obj(y):
-                return (45.0 * mel_loss(y, t)
-                        + 1.0 - jax.nn.sigmoid(signal_noise_ratio(y, t)))
-            return jnp.sum(jnp.square(jax.grad(obj)(x)))
+                return (45.0 * mel_loss(y, t_)
+                        + 1.0 - jax.nn.sigmoid(signal_noise_ratio(y, t_)))
+            return jnp.sum(jnp.square(jax.grad(obj)(x_)))
 
-        dt, sp = rtt_subtracted(mel_grad, float)
+        dt, sp = rtt_subtracted(lambda: mel_grad(x, t), float)
         out["mel_grad_ms"] = round(dt * 1e3, 1)
+        print("mel_grad_ms", out["mel_grad_ms"], file=sys.stderr)
 
     act_dtype = jnp.bfloat16 if args.variant == "bf16d" else jnp.float32
 
     if "d_fwd" in parts:
         @jax.jit
-        def d_fwd():
-            py = disc(pd_run, x.astype(act_dtype))
-            pt = disc(pd_run, t.astype(act_dtype))
+        def d_fwd(pd_, x_, t_):
+            py = disc(pd_, x_.astype(act_dtype))
+            pt = disc(pd_, t_.astype(act_dtype))
             s = 0.0
             for sub in py + pt:
                 s = s + jnp.sum(jnp.square(sub[-1].astype(jnp.float32)))
             return s
 
-        dt, sp = rtt_subtracted(d_fwd, float)
+        dt, sp = rtt_subtracted(lambda: d_fwd(pd_run, x, t), float)
         out["d_fwd_ms"] = round(dt * 1e3, 1)
+        print("d_fwd_ms", out["d_fwd_ms"], file=sys.stderr)
 
     if "d_grad" in parts:
         @jax.jit
-        def d_grad():
+        def d_grad(pd_, x_, t_):
             def obj(p):
-                q = disc(p, t)
-                q_ = disc(p, x)
+                q = disc(p, t_)
+                q_ = disc(p, x_)
                 real, fake = dis_adv(q_, q)
                 return real + fake
-            g = jax.grad(obj)(pd)
+            g = jax.grad(obj)(pd_)
             return sum(jnp.sum(jnp.abs(l))
                        for l in jax.tree_util.tree_leaves(g))
 
-        dt, sp = rtt_subtracted(d_grad, float)
+        dt, sp = rtt_subtracted(lambda: d_grad(pd, x, t), float)
         out["d_grad_ms"] = round(dt * 1e3, 1)
+        print("d_grad_ms", out["d_grad_ms"], file=sys.stderr)
 
     # ---- composed steps (fresh state each call; state donated) ----
     def state_factory():
-        return {"params_generator": pg,
-                "params_discriminator": pd,
+        # fresh device copies: the donated step consumes its inputs, so
+        # reusing pg/pd across parts raises 'Array has been deleted'
+        pg2 = jax.tree_util.tree_map(lambda a: a + 0.0, pg)
+        pd2 = jax.tree_util.tree_map(lambda a: a + 0.0, pd)
+        return {"params_generator": pg2,
+                "params_discriminator": pd2,
                 "opt_generator": jax.device_put(og.init(pg)),
                 "opt_discriminator": jax.device_put(od.init(pd))}
+
+    if "fence_probe" in parts:
+        # Does fetching an EARLY output (the generator loss) fence the
+        # whole dispatch on this backend, or only that buffer? Compare
+        # walls fencing g vs fencing the last-written state (a D-phase
+        # optimizer leaf + a G param leaf). If wall_state >> wall_g the
+        # r2-r4 train legs under-measured the step.
+        stepfn = steps["train_disc"]
+        # use the original pg/pd directly (no defensive copies): this part
+        # runs alone and the D-zoo step peak + duplicated 70M-param trees
+        # exceed HBM (observed RESOURCE_EXHAUSTED)
+        holder = {"st": {"params_generator": pg,
+                         "params_discriminator": pd,
+                         "opt_generator": jax.device_put(og.init(pg)),
+                         "opt_discriminator": jax.device_put(od.init(pd))}}
+
+        @jax.jit
+        def _leafsum(a, b):
+            return jnp.sum(a) + jnp.sum(b)
+
+        def leaf_sum(st):
+            # ONE fetch (one RTT): sum a D-phase optimizer leaf (written
+            # last) and a G param leaf in a single tiny dispatch
+            leaves = jax.tree_util.tree_leaves(st["opt_discriminator"])
+            leaves2 = jax.tree_util.tree_leaves(st["params_generator"])
+            return float(_leafsum(leaves[-1], leaves2[-1]))
+
+        st, g, d, frags, stats = stepfn(holder["st"], x, t)
+        del holder
+        _ = leaf_sum(st)
+        for fence_name in ("g", "d", "state"):
+            walls = []
+            for _i in range(6):
+                st_in = st
+                t0 = time.perf_counter()
+                st, g, d, frags, stats = stepfn(st_in, x, t)
+                if fence_name == "g":
+                    _ = float(g)
+                elif fence_name == "d":
+                    _ = float(d)
+                else:
+                    _ = leaf_sum(st)
+                walls.append(time.perf_counter() - t0)
+            out[f"fence_{fence_name}_ms"] = round(
+                float(np.median(walls)) * 1e3, 1)
+            print(f"fence_{fence_name}_ms", out[f"fence_{fence_name}_ms"],
+                  file=sys.stderr)
+            # drain: fully fence before switching fence types
+            _ = leaf_sum(st)
 
     for name, key in (("gen_step_nodisc", "train"),
                       ("full_step", "train_disc")):
@@ -208,6 +273,7 @@ def main():
         out[f"{name}_ms"] = round(dt * 1e3, 1)
         out[f"{name}_audio_s_per_s"] = audio_s(dt)
         out[f"{name}_spread_pct"] = round(sp, 1)
+        print(name, out[f"{name}_ms"], "ms", file=sys.stderr)
         del holder["st"]
 
     print(json.dumps(out))
