@@ -28,12 +28,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+
 from dl_speech_enhancement_tpu.dsp.stft import hann_window, frame_signal
 from dl_speech_enhancement_tpu.dsp.mel import mel_filterbank
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _freq_block(n_freq_p: int, target: int = 256) -> int:
+    """Largest 128-multiple divisor of the padded freq axis <= target.
+
+    The windowed-DFT bases are streamed through VMEM in freq blocks: keeping
+    BOTH full bases resident (2 x n_fft x n_freq_p f32 — 18.9 MB at fft
+    2048) sat right at the ~16 MB scoped-VMEM limit and aborted compiles in
+    larger surrounding programs (observed: the remat B=64 training step).
+    """
+    nb = n_freq_p // 128
+    best = 128
+    for k in range(1, nb + 1):
+        if nb % k == 0 and 128 * k <= target:
+            best = 128 * k
+    return best
 
 
 @functools.lru_cache(maxsize=8)
@@ -85,28 +103,50 @@ def _run_chunked(core, flat, total: int, block_frames: int, out_cols: int):
         rows = _round_up(-(-total // n), block_frames)
         total_p = rows * n
         flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
-        out = jax.lax.map(core, flat.reshape(n, rows, flat.shape[1]))
-        return out.reshape(total_p, out_cols)
+        # STATIC python loop, not lax.map: the map's while-loop body gets
+        # fused with neighboring ops and XLA stages the full (n, rows, .)
+        # operands on the scoped-VMEM stack — observed aborting the remat
+        # B=64 training compile at 18.12M vs the 16M limit (round 5).
+        # Separate pallas_calls keep each chunk's buffers in HBM; n is
+        # static and small (total/4096), so program-size growth is mild.
+        chunks = [core(flat[i * rows : (i + 1) * rows]) for i in range(n)]
+        return jnp.concatenate(chunks, axis=0)
     total_p = _round_up(total, block_frames)
     flat = jnp.pad(flat, ((0, total_p - total), (0, 0)))
     return core(flat)
 
 
-def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, eps, log_base):
+def _kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, eps,
+            log_base, nb):
+    """Grid (frame_blocks, freq_blocks): per j-step the block's partial mel
+    projection accumulates into the revisited output block; the clamp+log
+    epilogue runs on the last freq block. Padded freq columns contribute
+    sqrt(eps) amplitudes against all-zero mel rows, exactly like the
+    unblocked kernel did."""
+    j = pl.program_id(1)
     f = frames_ref[...]
     re = jnp.dot(f, cos_ref[...], preferred_element_type=jnp.float32)
     im = jnp.dot(f, sin_ref[...], preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    amp = jnp.sqrt(jnp.maximum(power, eps))
-    mel = jnp.dot(amp, mel_ref[...], preferred_element_type=jnp.float32)
-    mel = jnp.maximum(mel, eps)
-    if log_base is None:
-        out = jnp.log(mel)
-    elif log_base == 2.0:
-        out = jnp.log2(mel)
-    else:
-        out = jnp.log10(mel)
-    out_ref[...] = out
+    amp = jnp.sqrt(jnp.maximum(re * re + im * im, eps))
+    partial = jnp.dot(amp, mel_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[...] = out_ref[...] + partial
+
+    @pl.when(j == nb - 1)
+    def _():
+        mel = jnp.maximum(out_ref[...], eps)
+        if log_base is None:
+            out_ref[...] = jnp.log(mel)
+        elif log_base == 2.0:
+            out_ref[...] = jnp.log2(mel)
+        else:
+            out_ref[...] = jnp.log10(mel)
 
 
 def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
@@ -117,9 +157,6 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
 
     Matches dsp.mel.log_mel_spectrogram (center=True reflect padding).
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     if win_length is None:
         win_length = n_fft
     if fmax is None:
@@ -131,21 +168,24 @@ def make_fused_log_mel(sr: int, n_fft: int, hop: int, win_length: int | None,
     cos_b, sin_b, mel_m = _bases(n_fft, win_length, sr, n_mels, fmin, fmax)
     n_freq_p = cos_b.shape[1]
     n_mels_p = mel_m.shape[1]
+    fb = _freq_block(n_freq_p)
+    nb = n_freq_p // fb
 
     def _pallas_core(flat):
         total_p = flat.shape[0]
-        grid = (total_p // block_frames,)
+        grid = (total_p // block_frames, nb)
         return pl.pallas_call(
-            functools.partial(_kernel, eps=eps, log_base=log_base),
+            functools.partial(_kernel, eps=eps, log_base=log_base, nb=nb),
             out_shape=jax.ShapeDtypeStruct((total_p, n_mels_p), jnp.float32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_frames, n_fft), lambda i: (i, 0)),
-                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
-                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
-                pl.BlockSpec((n_freq_p, n_mels_p), lambda i: (0, 0)),
+                pl.BlockSpec((block_frames, n_fft), lambda i, j: (i, 0)),
+                pl.BlockSpec((n_fft, fb), lambda i, j: (0, j)),
+                pl.BlockSpec((n_fft, fb), lambda i, j: (0, j)),
+                pl.BlockSpec((fb, n_mels_p), lambda i, j: (j, 0)),
             ],
-            out_specs=pl.BlockSpec((block_frames, n_mels_p), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((block_frames, n_mels_p),
+                                   lambda i, j: (i, 0)),
             interpret=interpret,
         )(flat, cos_b, sin_b, mel_m)
 
@@ -205,6 +245,8 @@ def fused_log_mel(x, sr, n_fft, hop, win_length=None, n_mels=80, fmin=0.0,
 
 
 def _mag_kernel(frames_ref, cos_ref, sin_ref, out_ref, *, eps):
+    # freq-blocked like _kernel, but the output IS per-freq so each (i, j)
+    # step writes its own output block — no accumulation needed
     f = frames_ref[...]
     re = jnp.dot(f, cos_ref[...], preferred_element_type=jnp.float32)
     im = jnp.dot(f, sin_ref[...], preferred_element_type=jnp.float32)
@@ -217,24 +259,24 @@ def make_fused_stft_magnitude(n_fft: int, hop: int, win_length: int,
     """Fused magnitude spectrogram ``f(x (B, T)) -> (B, frames, n_fft//2+1)``
     via the same DFT-as-MXU-matmul trick — for the multi-resolution STFT
     loss front-end (dsp.stft.stft_magnitude semantics)."""
-    from jax.experimental import pallas as pl
-
     cos_b, sin_b = _dft_bases(n_fft, win_length)
     n_freq = n_fft // 2 + 1
     n_freq_p = cos_b.shape[1]
+    fb = _freq_block(n_freq_p)
+    nb = n_freq_p // fb
 
     def _pallas_core(flat):
         total_p = flat.shape[0]
         return pl.pallas_call(
             functools.partial(_mag_kernel, eps=eps),
             out_shape=jax.ShapeDtypeStruct((total_p, n_freq_p), jnp.float32),
-            grid=(total_p // block_frames,),
+            grid=(total_p // block_frames, nb),
             in_specs=[
-                pl.BlockSpec((block_frames, n_fft), lambda i: (i, 0)),
-                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
-                pl.BlockSpec((n_fft, n_freq_p), lambda i: (0, 0)),
+                pl.BlockSpec((block_frames, n_fft), lambda i, j: (i, 0)),
+                pl.BlockSpec((n_fft, fb), lambda i, j: (0, j)),
+                pl.BlockSpec((n_fft, fb), lambda i, j: (0, j)),
             ],
-            out_specs=pl.BlockSpec((block_frames, n_freq_p), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((block_frames, fb), lambda i, j: (i, j)),
             interpret=interpret,
         )(flat, cos_b, sin_b)
 
