@@ -267,6 +267,37 @@ class VocoderReceiver:
         return y
 
 
+def resolve_scan_backend(backend: str, *, on_accelerator: bool, batch: int,
+                         use_pqc: bool) -> str:
+    """Resolve ``make_scan_stream``'s ``backend='auto'`` to a concrete path.
+
+    Policy, from the on-chip A/Bs (docs/SCALING.md "Stacked-region batched
+    kernels" + bench legs ``stacked_16`` / ``stacked_pqc_16``):
+
+    - batch == 1 on an accelerator -> ``'pallas'`` (whole-stack mega
+      kernel, ~3.5x the XLA scan single-stream; covers PQC too).
+    - batch > 1 -> ``'xla'`` for BOTH codecs: XLA batching wins every
+      controlled point. Without-PQC: stacked 21.4 us/stream-frame at
+      B=16 vs XLA 12.9 (B=16) / 5.6 (B=128). PQC (symAD): the round-5
+      control arm measured XLA batched at 16.4 us/stream-frame vs
+      stacked 22.8 at B=16 — reversing round 4's 14.4 us stacked
+      reading, which did not reproduce under the single-compile
+      RTT-subtracted methodology (the old two-point fit overstated the
+      stacked arm). ``use_pqc`` stays a parameter so a future win can
+      flip one branch, and explicit ``'pallas'`` still reaches the
+      stacked kernel for study.
+
+    Explicit ``'pallas'``/``'xla'`` requests are honored unchanged.
+    """
+    if backend != "auto":
+        return backend
+    if not on_accelerator:
+        return "xla"
+    if batch > 1:
+        return "xla"
+    return "pallas"
+
+
 def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
                      backend: str = "auto", frame_size: int | None = None,
                      interpret: bool = False, weight_dtype=None):
@@ -289,8 +320,9 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     without-PQC case. For ``batch > 1`` with ``frame_size``,
     ``backend='pallas'`` uses the stacked-region batched mega kernel
     (ops/mega_stacked.py — B streams stacked along the sublane axis,
-    VMEM-packed segment pipeline); 'auto' keeps the XLA scan for
-    batch > 1 pending the on-chip A/B in docs/SCALING.md.
+    VMEM-packed segment pipeline); ``'auto'`` keeps the XLA scan for
+    batch > 1 — XLA batching wins the controlled A/B for BOTH codecs
+    (see ``resolve_scan_backend`` for the measured points).
 
     ``weight_dtype`` is forwarded to the mega kernel (default bf16 —
     halves VMEM weight residency). For a PQC transmitter that must emit
@@ -305,8 +337,9 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     ``(N, B, T_code, n_books)`` for batch>1) — use it for transmitters
     that must emit the bitstream (reference utils/audiodec.py:96-103).
     """
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    backend = resolve_scan_backend(
+        backend, on_accelerator=jax.default_backend() not in ("cpu",),
+        batch=batch, use_pqc=gen.use_pqc)
     if backend == "pallas" and batch == 1:
         if frame_size is not None:
             try:
@@ -353,9 +386,9 @@ def make_scan_stream(gen, params, vq_state=None, batch: int = 1,
     if backend == "pallas" and batch > 1 and frame_size is not None:
         # multi-stream: the stacked-region batched mega kernel
         # (ops/mega_stacked.py) — B streams stacked along sublanes, one
-        # VMEM-packed segment pipeline. Explicit 'pallas' only for now;
-        # 'auto' keeps the XLA scan for batch > 1 until the on-chip A/B
-        # (docs/SCALING.md round-4 table) settles the default.
+        # VMEM-packed segment pipeline. Explicit 'pallas' only: 'auto'
+        # keeps XLA for batch > 1, which wins the controlled A/B for both
+        # codecs (resolve_scan_backend / docs/SCALING.md).
         try:
             from dl_speech_enhancement_tpu.ops.mega_stacked import (
                 make_mega_stream_stacked,

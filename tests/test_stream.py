@@ -213,6 +213,29 @@ def test_scan_stream_mega_path_matches_xla(plain_model, rng):
                                np.asarray(ys_ref) / scale, atol=2e-2)
 
 
+def test_scan_stream_auto_routing_policy():
+    """'auto' resolution follows the measured A/Bs (docs/SCALING.md):
+    mega for batch==1 on an accelerator; XLA for batch>1 (XLA batching
+    wins the controlled A/B for BOTH codecs — the round-5 control arm
+    reversed round 4's stacked-PQC reading); XLA on CPU. Explicit
+    requests pass through untouched."""
+    from dl_speech_enhancement_tpu.stream.runtime import resolve_scan_backend
+
+    r = resolve_scan_backend
+    # on an accelerator
+    assert r("auto", on_accelerator=True, batch=1, use_pqc=False) == "pallas"
+    assert r("auto", on_accelerator=True, batch=1, use_pqc=True) == "pallas"
+    assert r("auto", on_accelerator=True, batch=16, use_pqc=True) == "xla"
+    assert r("auto", on_accelerator=True, batch=16, use_pqc=False) == "xla"
+    # CPU backend: always XLA
+    assert r("auto", on_accelerator=False, batch=1, use_pqc=True) == "xla"
+    assert r("auto", on_accelerator=False, batch=16, use_pqc=True) == "xla"
+    # explicit requests are honored unchanged
+    assert r("pallas", on_accelerator=True, batch=16, use_pqc=False) == \
+        "pallas"
+    assert r("xla", on_accelerator=True, batch=1, use_pqc=True) == "xla"
+
+
 def test_scan_stream_mega_falls_back_on_uncovered_topology(rng):
     """Topologies the mega kernel can't assemble (first encoder stride not
     dividing 6) must fall back to the fused-chain/XLA path, not crash."""
