@@ -180,9 +180,22 @@ def seed_compile_cache(cache_dir):
         os.makedirs(cache_dir, exist_ok=True)
         n = 0
         for name in os.listdir(seed_dir):
+            src = os.path.join(seed_dir, name)
+            if name.endswith(".gz"):  # entries are committed gzipped
+                dst = os.path.join(cache_dir, name[:-3])
+                if not os.path.exists(dst):
+                    import gzip
+                    with gzip.open(src, "rb") as f:
+                        data = f.read()
+                    tmp = dst + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, dst)
+                    n += 1
+                continue
             dst = os.path.join(cache_dir, name)
             if not os.path.exists(dst):
-                shutil.copyfile(os.path.join(seed_dir, name), dst)
+                shutil.copyfile(src, dst)
                 n += 1
         return n
     except Exception:
