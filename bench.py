@@ -65,7 +65,9 @@ Lower-priority legs (captured when budget allows):
 - ``stacked_16`` / ``stacked_pqc_16``: the stacked-region batched Pallas
   kernel (ops/mega_stacked.py) for both codecs, vs the XLA batch arm;
 - ``train_*``: adversarial course-training throughput (audio-s/s) and
-  XLA-cost-model MFU;
+  XLA-cost-model MFU — the plain B=16 step and the large-batch arm
+  (B=64 with per-block generator remat + per-sub-D checkpointed
+  losses, the docs/SCALING.md memory levers);
 - ``vocoder_rx_*``: the AudioDec v1 HiFiGAN vocoder receiver (19 M params)
   as the fused Pallas segment pipeline vs XLA scan;
 - ``paired_v1_*``: the full paired-preset pipeline (symAD tx -> codes ->
@@ -605,7 +607,7 @@ def main():
         detail["frame600_dec_us"] = round(max(t_600 - t_600_enc, 0.0) * 1e6,
                                           2)
 
-    def leg_train():
+    def _train_leg(suffix, B, remat, disc_remat):
         # training throughput: full adversarial course step (G then D),
         # per-step device time via RTT-subtracted value-fenced walls
         # (queue depth 1 — deep donated-step queues wedge the tunneled
@@ -617,8 +619,7 @@ def main():
         from dl_speech_enhancement_tpu.train.optim import build_optimizer
 
         rng = np.random.default_rng(0)
-        B = 16
-        tg = AudioDecGenerator(use_pqc=False)
+        tg = AudioDecGenerator(use_pqc=False, remat=remat)
         seg = 48000 // tg.hop * tg.hop
         tcfg = dict(
             mel_loss_params=dict(fs=48000, fft_sizes=[2048], hop_sizes=[300],
@@ -628,7 +629,7 @@ def main():
             lambda_feat_match=2.0,
             generator_adv_loss_params={"average_by_discriminators": False},
             discriminator_adv_loss_params={"average_by_discriminators": False},
-            discriminator_remat=False,
+            discriminator_remat=disc_remat,
         )
         disc = HiFiGANDiscriminator()
         kg, kd = jax.random.split(jax.random.PRNGKey(0))
@@ -681,12 +682,22 @@ def main():
             if len(walls) >= 3 and remaining() < 0:
                 break
         dev = float(np.median(walls)) - rtt
-        detail["train_audio_s_per_s_b16"] = round(B * seg / 48000 / dev, 1)
-        detail["train_step_ms_b16"] = round(dev * 1e3, 1)
-        detail["train_mfu_pct_v5e_bf16_b16"] = (
+        detail[f"train_audio_s_per_s_{suffix}"] = round(
+            B * seg / 48000 / dev, 1)
+        detail[f"train_step_ms_{suffix}"] = round(dev * 1e3, 1)
+        detail[f"train_mfu_pct_v5e_bf16_{suffix}"] = (
             round(100.0 * step_flops / dev / V5E_PEAK_FLOPS, 2)
             if step_flops else None)
         del st, x, y
+
+    def leg_train():
+        _train_leg("b16", 16, remat=False, disc_remat=False)
+
+    def leg_train_remat64():
+        # the large-batch arm: per-block generator remat + per-sub-D
+        # checkpointed losses unlock B=64 (the plain step OOMs at B=32)
+        # at ~1.5x the B=16 throughput — docs/SCALING.md memory levers
+        _train_leg("b64_remat", 64, remat=True, disc_remat=True)
 
     # priority order: the mega-kernel HEADLINE leg first (required — if
     # cold compiles eat the budget, they buy the real number, not the
@@ -704,6 +715,7 @@ def main():
         # train MFU (VERDICT r3 #5 / r4 #2) outranks the remaining
         # inference legs
         ("train_b16", 110, leg_train),
+        ("train_b64_remat", 110, leg_train_remat64),
         ("vocoder_rx", 110, leg_vocoder),
         ("paired_v1", 40, leg_paired),
         ("frame600", 50, leg_frame600),

@@ -97,7 +97,10 @@ def run_logged(fn, logpath):
 
 def parse_curve(logpath):
     rows = {}
-    pat = re.compile(r"\(Steps: (\d+)\) (\S+) = ([-\d.]+)")
+    # trainer console lines end with a period ("... = 107.7745.") — strip
+    # it before float() (the first run crashed here after all training
+    # completed; curves were reconstructed by tools/smoke_r05_reparse.py)
+    pat = re.compile(r"\(Steps: (\d+)\) (\S+) = ([-\d.]+?)\.?\s*$")
     with open(logpath) as f:
         for line in f:
             m = pat.search(line)
