@@ -58,9 +58,12 @@ emitting the int32 wire codes + codebook lookup + decoder input conv,
 exactly as make_mega_stream's single-stream path does. Equivalence vs
 ``gen.encode_step``/``decode_step`` per stream is pinned in
 tests/test_mega_stacked.py (incl. test_mega_stacked_pqc_matches_xla);
-on-chip A/B vs the XLA batch path in docs/SCALING.md (the stacked PQC
-kernel WINS at B=16 — 14.4 vs 26.2 us/stream-frame single-stream mega —
-and is the 'auto' route for PQC batch>1 in stream/runtime.py).
+on-chip A/B vs the XLA batch path in docs/SCALING.md: XLA batching wins
+for BOTH codecs (round-5 control arm — XLA batched PQC 16.4 vs stacked
+22.8 us/stream-frame at B=16; the earlier 14.4 stacked reading was a
+two-point-fit artifact), so 'auto' keeps the XLA scan for batch>1 and
+this kernel family is reached by explicit backend='pallas' only
+(stream/runtime.py::resolve_scan_backend).
 """
 
 from __future__ import annotations
